@@ -1,0 +1,67 @@
+package graft.config
+
+/**
+ * All tunables of the dedup pipeline in one typed, immutable place.
+ *
+ * Threshold / weight values are pinned to the reference's configuration
+ * (see BASELINE.md "parity config"):
+ *   - block / flag thresholds 0.85 / 0.70: reference `app/config.py:28-29`,
+ *     `app/services/duplicate_detector.py:30-31`
+ *   - candidate prefilter = flag * 0.8: `app/services/similarity_engine.py:81-83`
+ *   - hybrid weights content:metadata = 0.7:0.3: `similarity_engine.py:74`
+ *   - cross-"region" penalty -0.05 (clamped at 0): `similarity_engine.py:209-233`
+ *   - top-k 10, candidate fetch k*2: `duplicate_detector.py:77`, `similarity_engine.py:53`
+ *   - recurring tag at >= 3 duplicates of one parent: `duplicate_detector.py:332`
+ *
+ * MinHash/LSH parameters are derived, not guessed: with signature length
+ * n = bands*rowsPerBand, the probability that a pair with Jaccard s shares
+ * at least one band is 1 - (1 - s^r)^b.  b=32, r=4 gives P(0.70) ≈ 0.9984
+ * and P(0.85) ≈ 0.99999988, i.e. recall well above the 0.99 gate at the
+ * flag threshold, while pairs at s=0.3 collide with P ≈ 0.23 (cheaply
+ * rejected by exact-Jaccard verification).
+ */
+final case class DedupConfig(
+    // similarity thresholds (reference parity)
+    blockThreshold: Double = 0.85,
+    flagThreshold: Double = 0.70,
+    prefilterFactor: Double = 0.8, // prefilter = flagThreshold * 0.8
+    contentWeight: Double = 0.7,
+    metadataWeight: Double = 0.3,
+    crossOrientationPenalty: Double = 0.05,
+    topK: Int = 10,
+    recurringMinDuplicates: Int = 3,
+    // text shingling / MinHash
+    shingleSize: Int = 3, // word shingles
+    numHashes: Int = 128,
+    bands: Int = 32, // rowsPerBand = numHashes / bands = 4
+    hashSeed: Long = 42L, // matches Spark's builtin xxhash64 default seed
+    // image side: SimHash bands over the 64-bit phash. Candidates join on
+    // two-slice combo keys => perfect recall for Hamming <= phashBands-2.
+    phashBands: Int = 8,
+    maxHamming: Int = 6, // = phashBands - 2: inside the pigeonhole guarantee
+    // substring pass
+    substringMinLen: Int = 12, // captions shorter than this are too noisy to match
+    // skew handling
+    bucketSizeCap: Int = 64, // LSH buckets larger than this get the salted path
+    saltFactor: Int = 8,
+    // quality gate (reference `app/services/quality_checker.py:33-135`)
+    minCaptionLen: Int = 10,
+    minUniqueTokenRatio: Double = 0.3,
+    maxSpecialCharRatio: Double = 0.3,
+    // clustering
+    maxCcIterations: Int = 50
+) {
+  require(numHashes % bands == 0, "numHashes must be divisible by bands")
+  require(maxHamming <= phashBands - 2,
+    "combo-key banding only guarantees recall for Hamming <= phashBands-2")
+  def rowsPerBand: Int = numHashes / bands
+  def prefilterThreshold: Double = flagThreshold * prefilterFactor
+
+  /** P(pair with Jaccard s becomes an LSH candidate) = 1-(1-s^r)^b. */
+  def candidateProbability(s: Double): Double =
+    1.0 - math.pow(1.0 - math.pow(s, rowsPerBand.toDouble), bands.toDouble)
+}
+
+object DedupConfig {
+  val default: DedupConfig = DedupConfig()
+}

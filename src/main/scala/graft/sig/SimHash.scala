@@ -1,0 +1,81 @@
+package graft.sig
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Image-side near-duplicate sketching over the 64-bit perceptual hash.
+ *
+ * Reference analog: vector cosine over image-describing text
+ * (`app/utils/vector_store.py:71-103`); north rule replaces it with
+ * "perceptual SimHash over phash" — two phashes within Hamming distance r
+ * are near-duplicate images.
+ *
+ * Candidate generation is pigeonhole banding: split the 64-bit phash into
+ * `bands` equal bit-slices. Hamming distance d corrupts at most d slices, so
+ * a pair at d <= bands - agree shares at least `agree` intact slices —
+ * joining on every `agree`-subset of slices has PERFECT recall for
+ * d <= bands - agree.
+ *
+ * Why agree=2 and not the naive agree=1: single 8-bit slices have only 256
+ * distinct values, so at web scale every bucket contains n/256 rows and the
+ * self-join degenerates to ~n²/256 candidate pairs (measured: 200k pairs for
+ * 4k rows). Keys built from PAIRS of slices carry 16 bits + a combo tag →
+ * C(8,2)=28 keys per row but ~2^16·28 buckets: the candidate count drops by
+ * ~256× while the Hamming <= 8-2 = 6 guarantee exactly matches
+ * config.maxHamming. Key encoding is exact (combo·2^2w + bits_i·2^w +
+ * bits_j), no hash collisions.
+ *
+ * Everything is builtin-Column expressible (shiftright / bitwise and /
+ * bit_count) — stays in whole-stage codegen; no UDF, no custom expression.
+ */
+object SimHash {
+
+  /** array<long> of `bands` bit-slices of the phash, low band first. */
+  def phashBandsCol(phash: Column, bands: Int): Column = {
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    array((0 until bands).map { b =>
+      shiftright(phash, b * width).bitwiseAND(lit(mask))
+    }: _*)
+  }
+
+  def phashBands(phash: Long, bands: Int): Array[Long] = {
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    Array.tabulate(bands)(b => (phash >>> (b * width)) & mask)
+  }
+
+  /** All C(bands,2) two-slice combo keys (perfect recall for
+    * Hamming <= bands-2). Exact encoding, no collisions. */
+  def comboKeysCol(phash: Column, bands: Int): Column = {
+    val width = 64 / bands
+    val slices = (0 until bands).map { b =>
+      shiftright(phash, b * width).bitwiseAND(lit((1L << width) - 1L))
+    }
+    val combos = for (i <- 0 until bands; j <- (i + 1) until bands) yield (i, j)
+    array(combos.zipWithIndex.map { case ((i, j), c) =>
+      (lit(c.toLong * (1L << (2 * width))) + shiftleft(slices(i), width) + slices(j)).cast("long")
+    }: _*)
+  }
+
+  def comboKeys(phash: Long, bands: Int): Array[Long] = {
+    val width = 64 / bands
+    val slices = phashBands(phash, bands)
+    val combos = for (i <- 0 until bands; j <- (i + 1) until bands) yield (i, j)
+    combos.zipWithIndex.map { case ((i, j), c) =>
+      c.toLong * (1L << (2 * width)) + (slices(i) << width) + slices(j)
+    }.toArray
+  }
+
+  /** Hamming distance between two 64-bit phashes. */
+  def hammingCol(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Similarity in [0,1]: 1 - hamming/64. */
+  def hammingSimCol(a: Column, b: Column): Column =
+    lit(1.0) - hammingCol(a, b).cast("double") / lit(64.0)
+
+  def hammingSim(a: Long, b: Long): Double = 1.0 - hamming(a, b) / 64.0
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pairs.Candidates
+
+class CandidatesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("salted self-join produces exactly the naive pair set (incl. hot buckets)") {
+    import spark.implicits._
+    // 3 buckets: tiny (3), exactly-cap-sized, and hot (10x cap)
+    val cap = 8
+    val rows =
+      (0 until 3).map(i => (f"a$i%03d", 0, 100L)) ++
+        (0 until cap).map(i => (f"b$i%03d", 0, 200L)) ++
+        (0 until cap * 10).map(i => (f"c$i%03d", 1, 300L))
+    val banded = rows.toDF("id", "band", "bkey")
+
+    val naive = banded.as("l").join(banded.as("r"),
+        $"l.band" === $"r.band" && $"l.bkey" === $"r.bkey" && $"l.id" < $"r.id")
+      .select($"l.id".as("src"), $"r.id".as("dst"))
+      .as[(String, String)].collect().toSet
+
+    val salted = Candidates.saltedSelfJoin(banded, cap)
+      .as[(String, String)].collect()
+
+    assert(salted.length == salted.toSet.size, "no duplicate pairs")
+    assert(salted.toSet == naive)
+    // sanity: the hot bucket alone contributes C(80,2) pairs
+    assert(naive.size == 3 + 28 + (80 * 79) / 2)
+  }
+
+  test("salted self-join is stable under partitioning") {
+    import spark.implicits._
+    val rows = (0 until 100).map(i => (f"x$i%03d", i % 3, (i % 5).toLong))
+    val a = Candidates.saltedSelfJoin(rows.toDF("id", "band", "bkey").repartition(2), 4)
+      .as[(String, String)].collect().toSet
+    val b = Candidates.saltedSelfJoin(rows.toDF("id", "band", "bkey").repartition(7), 4)
+      .as[(String, String)].collect().toSet
+    assert(a == b)
+  }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config.DedupConfig
+import graft.gen.{Images, Synth}
+import graft.oracle.{NaiveOracle, OracleRow}
+
+/**
+ * The correctness gates of BASELINE.json:
+ *  - dup-pair recall >= 0.99 vs the oracle's cluster assignments,
+ *  - per-row invariant: decoded-pixel PSNR >= 40 dB (lossy), byte equality
+ *    (lossless), caption equality,
+ *  - CC labels invariant under partitioning,
+ *  - resumability (see ResumeSpec).
+ */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val cfg = DedupConfig.default
+  val N = 400L
+
+  lazy val corpus = Synth.corpus(spark, N).toDF().cache()
+  lazy val result = Dedup.run(spark, corpus, cfg)
+
+  lazy val oracleOutcomes = {
+    val rows = (0L until N).map { i =>
+      val r = Synth.makeRow(42L, i)
+      OracleRow(r.image_id, r.caption, r.w, r.h, r.fmt, r.phash)
+    }
+    NaiveOracle.run(rows, cfg)
+  }
+
+  test("corpus is deterministic and has planted structure") {
+    import spark.implicits._
+    val again = Synth.corpus(spark, N).toDF()
+    assert(corpus.select("image_id", "caption", "phash").except(
+      again.select("image_id", "caption", "phash")).count() == 0)
+    val truth = Synth.truth(spark, N)
+    assert(truth.where($"group_id" === "hot").count() == N / Synth.Block)
+    assert(truth.where($"kind" === "lowquality").count() > 0)
+  }
+
+  test("per-row invariant: decoded pixels (PSNR >= 40dB lossy, exact lossless) + caption equality") {
+    val rows = corpus.collect()
+    assert(rows.length == N)
+    rows.foreach { row =>
+      val i = row.getAs[String]("image_id").stripPrefix("img-").toLong
+      val (_, wantCaption, w, h, fmt, pixelSeed, _, kindName) = Synth.describe(42L, i)
+      assert(row.getAs[String]("caption") == wantCaption)
+      val truthImg = Images.render(pixelSeed, w, h,
+        jitter = if (kindName == "imagedup") 2 else 0)
+      val decoded = Images.decode(row.getAs[Array[Byte]]("bytes"))
+      assert(decoded.getWidth == w && decoded.getHeight == h)
+      if (fmt == "png") {
+        assert(Images.psnr(truthImg, decoded).isPosInfinity, s"png row $i must be lossless")
+      } else {
+        val p = Images.psnr(truthImg, decoded)
+        assert(p >= 40.0, s"jpg row $i PSNR=$p < 40dB")
+      }
+    }
+  }
+
+  test("dup-pair recall >= 0.99 vs oracle cluster assignments") {
+    import spark.implicits._
+    val oraclePairs = NaiveOracle.intraClusterPairs(oracleOutcomes)
+    val engineClusters = result.clusters.as[(String, String)].collect()
+    val enginePairs = engineClusters.groupBy(_._2).values.flatMap { ms =>
+      val ids = ms.map(_._1).sorted
+      for (i <- ids.indices; j <- (i + 1) until ids.length) yield (ids(i), ids(j))
+    }.toSet
+
+    assert(oraclePairs.nonEmpty, "oracle found no duplicate pairs — corpus broken")
+    val recall = (oraclePairs intersect enginePairs).size.toDouble / oraclePairs.size
+    val precision =
+      if (enginePairs.isEmpty) 1.0
+      else (oraclePairs intersect enginePairs).size.toDouble / enginePairs.size
+    info(s"oracle pairs=${oraclePairs.size} engine pairs=${enginePairs.size} " +
+      s"recall=$recall precision=$precision")
+    assert(recall >= 0.99, s"recall $recall < 0.99")
+    assert(precision >= 0.99, s"precision $precision < 0.99")
+  }
+
+  test("decision classes match the oracle") {
+    import spark.implicits._
+    val engine = result.decisions.select("image_id", "decision")
+      .as[(String, String)].collect().toMap
+    val lowQ = result.lowQuality.select("image_id").as[String].collect().toSet
+    var mismatches = 0
+    oracleOutcomes.foreach { o =>
+      val got =
+        if (lowQ.contains(o.id)) "low_quality" else engine.getOrElse(o.id, "missing")
+      if (got != o.decision) mismatches += 1
+    }
+    val rate = mismatches.toDouble / oracleOutcomes.size
+    info(s"decision mismatches: $mismatches / ${oracleOutcomes.size}")
+    assert(rate <= 0.01, s"decision mismatch rate $rate > 1%")
+  }
+
+  test("low-quality rows are quarantined, not clustered") {
+    import spark.implicits._
+    val lq = result.lowQuality.select("image_id").as[String].collect().toSet
+    assert(lq.nonEmpty)
+    val clustered = result.clusters.select("image_id").as[String].collect().toSet
+    assert(lq.intersect(clustered).isEmpty)
+  }
+
+  test("recurring tag: hot cluster qualifies") {
+    import spark.implicits._
+    val rec = result.recurring.select("cluster_id", "members")
+      .as[(String, Long)].collect()
+    assert(rec.exists(_._2 >= N / Synth.Block), "hot cluster must be tagged Recurring")
+  }
+
+  test("cluster labels invariant under input partitioning") {
+    import spark.implicits._
+    val repartitioned = Dedup.run(spark, corpus.repartition(13), cfg)
+    val a = result.clusters.as[(String, String)].collect().toSet
+    val b = repartitioned.clusters.as[(String, String)].collect().toSet
+    assert(a == b)
+  }
+}
