@@ -1,13 +1,90 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.{Documents, Engine, Relational}
+
+/**
+ * Driver contract (see SURVEY.md §5.2 item 6).
+ *
+ * Every SQL-expressible operator carries a DuckDB-equivalent oracle query in
+ * `oracleSql` (column names aligned on both sides; aggregates routed through
+ * exact decimal arithmetic and cast to double so value hashes match).
+ * Engine-native operators (MinHash/SimHash/LSH-ANN, the image+caption dedup
+ * pipeline, imageio decode) have no ANSI-SQL form — they get rows-only
+ * checks here and full oracle-parity coverage in the test suite
+ * (PipelineSpec / EngineQuerySpec).
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the dedup pipeline's cluster assignment on the sf0.001-sized
+    * synthetic image+caption corpus. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Engine.pipelineClusters(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // relational / monitoring analogs (oracle-checked)
+    "q01_pricing_summary" -> (Relational.q01PricingSummary(_, _)),
+    "q02_filter_project" -> (Relational.q02FilterProject(_, _)),
+    "q03_top_revenue_orders" -> (Relational.q03TopRevenueOrders(_, _)),
+    "q04_region_suppliers" -> (Relational.q04RegionSuppliers(_, _)),
+    "q05_topk_per_group" -> (Relational.q05TopkPerGroup(_, _)),
+    "q06_market_segments" -> (Relational.q06MarketSegments(_, _)),
+    "q07_daily_events" -> (Relational.q07DailyEvents(_, _)),
+    "q08_value_histogram" -> (Relational.q08ValueHistogram(_, _)),
+    "q09_priority_timeline" -> (Relational.q09PriorityTimeline(_, _)),
+    "q10_top_customers" -> (Relational.q10TopCustomers(_, _)),
+    "q11_like_search" -> (Relational.q11LikeSearch(_, _)),
+    "q12_status_rate" -> (Relational.q12StatusRate(_, _)),
+    "q13_customers_without_orders" -> (Relational.q13CustomersWithoutOrders(_, _)),
+    "q14_active_customers" -> (Relational.q14ActiveCustomers(_, _)),
+    "q15_recurring_customers" -> (Relational.q15RecurringCustomers(_, _)),
+    // text / documents / embeddings (oracle-checked)
+    "q16_fingerprints" -> (Documents.q16Fingerprints(_, _)),
+    "q17_token_stats" -> (Documents.q17TokenStats(_, _)),
+    "q18_top_tokens" -> (Documents.q18TopTokens(_, _)),
+    "q19_quality_flags" -> (Documents.q19QualityFlags(_, _)),
+    "q20_lang_stopwords" -> (Documents.q20LangStopwords(_, _)),
+    "q21_ngram_jaccard" -> (Documents.q21NgramJaccard(_, _)),
+    "q22_embed_norms" -> (Documents.q22EmbedNorms(_, _)),
+    "q23_embed_topk" -> (Documents.q23EmbedTopk(_, _)),
+    // engine-native (rows-only checks; oracle parity lives in the test suite)
+    "dedup_minhash_docs" -> (Engine.minhashCandidatesDocs(_, _)),
+    "dedup_simhash_docs" -> (Engine.simhashDocs(_, _)),
+    "ann_lsh_topk" -> (Engine.annLshTopk(_, _)),
+    "pipeline_clusters" -> (Engine.pipelineClusters(_, _)),
+    "pipeline_decisions" -> (Engine.pipelineDecisions(_, _)),
+    "pipeline_verified_pairs" -> (Engine.pipelineVerifiedPairs(_, _)),
+    "pipeline_low_quality" -> (Engine.pipelineLowQuality(_, _)),
+    "pipeline_cluster_stats" -> (Engine.pipelineClusterStats(_, _)),
+    "image_features" -> (Engine.imageFeatures(_, _)),
+    "exact_dedup_corpus" -> (Engine.exactDedupCorpus(_, _)),
+    "substring_pairs_corpus" -> (Engine.substringPairsCorpus(_, _))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" -> Relational.q01Sql,
+    "q02_filter_project" -> Relational.q02Sql,
+    "q03_top_revenue_orders" -> Relational.q03Sql,
+    "q04_region_suppliers" -> Relational.q04Sql,
+    "q05_topk_per_group" -> Relational.q05Sql,
+    "q06_market_segments" -> Relational.q06Sql,
+    "q07_daily_events" -> Relational.q07Sql,
+    "q08_value_histogram" -> Relational.q08Sql,
+    "q09_priority_timeline" -> Relational.q09Sql,
+    "q10_top_customers" -> Relational.q10Sql,
+    "q11_like_search" -> Relational.q11Sql,
+    "q12_status_rate" -> Relational.q12Sql,
+    "q13_customers_without_orders" -> Relational.q13Sql,
+    "q14_active_customers" -> Relational.q14Sql,
+    "q15_recurring_customers" -> Relational.q15Sql,
+    "q16_fingerprints" -> Documents.q16Sql,
+    "q17_token_stats" -> Documents.q17Sql,
+    "q18_top_tokens" -> Documents.q18Sql,
+    "q19_quality_flags" -> Documents.q19Sql,
+    "q20_lang_stopwords" -> Documents.q20Sql,
+    "q21_ngram_jaccard" -> Documents.q21Sql,
+    "q22_embed_norms" -> Documents.q22Sql,
+    "q23_embed_topk" -> Documents.q23Sql
+  )
 }

@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/**
+ * Text-analysis and similarity-search operators over the `documents` and
+ * `embeddings` tables — the training-data-pipeline surface (token counting,
+ * quality scoring, language heuristics, fingerprinting, n-gram Jaccard
+ * near-dup, brute-force cosine top-k), each cross-checked against DuckDB.
+ *
+ * Tokenization is pinned to "split on single spaces, drop empties" in BOTH
+ * engines so shingle sets match exactly.
+ */
+object Documents {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  private def toks(c: Column): Column =
+    filter(split(c, " "), x => length(x) > 0)
+
+  /** Document fingerprinting: stable content hash (md5 of lowercased text). */
+  def q16Fingerprints(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), md5(lower(col("text"))).as("fp"))
+
+  val q16Sql: String =
+    "SELECT doc_id, md5(lower(text)) AS fp FROM documents"
+
+  /** Token counting per source (corpus statistics). */
+  def q17TokenStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("n_tok", size(toks(col("text"))))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        round(sum(col("n_tok")).cast("double") / count(lit(1)), 3).as("avg_tokens"))
+
+  val q17Sql: String =
+    """SELECT source, count(*) AS docs,
+      |  sum(n_tok) AS total_tokens,
+      |  round(cast(sum(n_tok) AS double) / count(*), 3) AS avg_tokens
+      |FROM (SELECT source, len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS n_tok
+      |      FROM documents) GROUP BY source""".stripMargin
+
+  /** A7-style explode-and-count: top-20 tokens. */
+  def q18TopTokens(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(explode(toks(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(20)
+
+  val q18Sql: String =
+    """SELECT token, count(*) AS cnt
+      |FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS token
+      |      FROM documents)
+      |GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20""".stripMargin
+
+  /** Quality scoring per document (F4/F5 analogs: length + uniqueness). */
+  def q19QualityFlags(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("tk", toks(col("text")))
+      .select(col("doc_id"),
+        size(col("tk")).as("n_tokens"),
+        round(size(array_distinct(col("tk"))).cast("double") /
+          size(col("tk")).cast("double"), 4).as("uniq_ratio"),
+        (col("n_chars") < 100).as("too_short"),
+        (size(array_distinct(col("tk"))).cast("double") /
+          size(col("tk")).cast("double") < 0.45).as("low_uniqueness"))
+
+  val q19Sql: String =
+    """SELECT doc_id, len(tk) AS n_tokens,
+      |  round(cast(len(list_distinct(tk)) AS double) / cast(len(tk) AS double), 4) AS uniq_ratio,
+      |  n_chars < 100 AS too_short,
+      |  cast(len(list_distinct(tk)) AS double) / cast(len(tk) AS double) < 0.45 AS low_uniqueness
+      |FROM (SELECT doc_id, n_chars, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+      |      FROM documents)""".stripMargin
+
+  /** Language-ID heuristic: stopword hits (n-gram heuristic analog). */
+  def q20LangStopwords(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "to", "in", "is")
+    t(spark, dir, "documents")
+      .withColumn("hits",
+        size(filter(toks(col("text")), x => x.isin(stop: _*))))
+      .withColumn("predicted", when(col("hits") >= 3, "en_like").otherwise("other"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("docs"), sum(col("hits")).as("stopword_hits"))
+  }
+
+  val q20Sql: String =
+    """SELECT lang, CASE WHEN hits >= 3 THEN 'en_like' ELSE 'other' END AS predicted,
+      |  count(*) AS docs, sum(hits) AS stopword_hits
+      |FROM (SELECT lang, len(list_filter(string_split(text, ' '),
+      |        x -> list_contains(['the','a','of','to','in','is'], x))) AS hits
+      |      FROM documents)
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Shingle Column shared by the Jaccard query and the MinHash sketch:
+    * distinct word 3-grams, whole-text fallback below 3 tokens (mirrors the
+    * SQL exactly). */
+  def shingles3(text: Column): Column = {
+    val tk = toks(text)
+    array_distinct(
+      transform(sequence(lit(1), greatest(size(tk) - 2, lit(1))),
+        i => concat_ws(" ", slice(tk, i, lit(3)))))
+  }
+
+  /** Exact n-gram Jaccard near-duplicate pairs (threshold 0.5) via an
+    * inverted-index shingle join — the ORACLE-CHECKABLE dedup query
+    * (MinHash/LSH is its approximate, scale-path twin in Engine.scala). */
+  def q21NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(shingles3(col("text"))).as("s"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shared = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .withColumn("uni", col("na") + col("nb") - col("shared"))
+      .where(col("shared").cast("double") / col("uni") >= 0.5)
+      .select(col("da"), col("db"), col("shared"), col("uni"),
+        round(col("shared").cast("double") / col("uni"), 4).as("jac"))
+  }
+
+  val q21Sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t FROM documents
+      |),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+      |  FROM tk, unnest(range(1, greatest(len(t)-2, 1) + 1)) u(i)
+      |),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |shared AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT da, db, shared, sa.n + sb.n - shared AS uni,
+      |  round(cast(shared AS double) / (sa.n + sb.n - shared), 4) AS jac
+      |FROM shared JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+      |WHERE cast(shared AS double) / (sa.n + sb.n - shared) >= 0.5""".stripMargin
+
+  private def vecD(c: Column): Column = transform(c, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def l2(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  /** Embedding norms (similarity-search building block). */
+  def q22EmbedNorms(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        size(col("embedding")).as("dim"),
+        round(l2(vecD(col("embedding"))), 4).as("norm"))
+
+  val q22Sql: String =
+    """SELECT vec_id, label, len(embedding) AS dim,
+      |  round(sqrt(list_sum(list_transform(embedding, x -> cast(x AS double) * cast(x AS double)))), 4) AS norm
+      |FROM embeddings""".stripMargin
+
+  /** Brute-force cosine top-k (the reference's FAISS IndexFlatIP exact scan,
+    * `app/utils/vector_store.py:71-103`): top-5 neighbors of vec_id < 20. */
+  def q23EmbedTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), vecD(col("embedding")).as("v"))
+      .withColumn("nrm", l2(col("v")))
+    val q = e.where(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = q.crossJoin(e)
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("qid"), col("nid"), col("rank"))
+  }
+
+  val q23Sql: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e),
+      |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 20),
+      |s AS (SELECT qid, n.vec_id AS nid,
+      |        list_sum(list_transform(list_zip(qv, n.v), p -> p[1]*p[2])) / (qn * n.nrm) AS cos
+      |      FROM q, n WHERE n.vec_id <> qid)
+      |SELECT qid, nid, rank FROM (
+      |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank FROM s)
+      |WHERE rank <= 5""".stripMargin
+}

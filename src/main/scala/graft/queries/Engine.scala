@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.config.DedupConfig
+import graft.gen.{Images, Synth}
+import graft.pairs.Candidates
+import graft.sig.{MinHash, Shingle, SimHash}
+import graft.util.Hashing
+
+/**
+ * Engine-native operators with no ANSI-SQL oracle (the driver records a
+ * rows-only check; their correctness evidence is the in-repo oracle parity
+ * suite and, for the approximate ops, containment tests vs their exact
+ * twins — see EngineQuerySpec):
+ *
+ *  - MinHash/LSH + SimHash near-dup candidates over `documents`
+ *    (approximate twins of the exact q21 Jaccard join);
+ *  - random-hyperplane LSH ANN over `embeddings` (scale path of q23);
+ *  - the full image+caption dedup pipeline over the deterministic
+ *    synthetic corpus, sized by scale factor;
+ *  - multimodal feature extraction: real javax.imageio decode of the
+ *    binary image column via mapPartitions (batch-shaped, schema-typed).
+ */
+object Engine {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  private def toks(c: Column): Column = filter(split(c, " "), x => length(x) > 0)
+
+  /** Corpus size for pipeline queries: scale factor drives row count. */
+  def synthRows(dir: String): Long = {
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(1).toDouble).getOrElse(0.001)
+    math.max(400L, (sf * 200000).toLong)
+  }
+
+  /** MinHash/LSH near-dup candidate pairs over documents — the approximate,
+    * shuffle-join twin of the exact q21 shingle join. Sketches the SAME
+    * word-3-gram sets as q21 (unigram sets are useless here: with a ~30-word
+    * vocabulary nearly every doc pair shares most tokens, so a unigram
+    * sketch fires on ~86% of all pairs — measured — and degenerates to n²). */
+  def minhashCandidatesDocs(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = DedupConfig.default
+    val sh = t(spark, dir, "documents")
+      .select(col("doc_id").cast("string").as("id"),
+        array_distinct(transform(Documents.shingles3(col("text")), x => xxhash64(x))).as("hashes"))
+      .where(size(col("hashes")) > 0)
+    val banded = sh.select(col("id"),
+      posexplode(MinHash.bandKeysCol(
+        MinHash.signatureCol(col("hashes"), cfg.numHashes, cfg.hashSeed),
+        cfg.bands, cfg.hashSeed)).as(Seq("band", "bkey")))
+    Candidates.saltedSelfJoin(banded, cfg.bucketSizeCap)
+      .distinct()
+      // pair ids travel as strings through the generic join; re-order numerically
+      .select(least(col("src").cast("long"), col("dst").cast("long")).as("da"),
+        greatest(col("src").cast("long"), col("dst").cast("long")).as("db"))
+      .distinct()
+  }
+
+  /** SimHash near-dup pairs over documents: 64-bit token-set SimHash,
+    * combo-key banding, Hamming <= 6 verification. */
+  def simhashDocs(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = DedupConfig.default
+    val sh = t(spark, dir, "documents")
+      .select(col("doc_id").cast("string").as("id"),
+        SimHash.simhash64Col(
+          array_distinct(transform(Documents.shingles3(col("text")), x => xxhash64(x)))).as("sh"))
+      .where(col("sh").isNotNull)
+    val banded = sh.select(col("id"),
+      posexplode(SimHash.comboKeysCol(col("sh"), cfg.phashBands)).as(Seq("band", "bkey")))
+    val pairs = Candidates.saltedSelfJoin(banded, cfg.bucketSizeCap).distinct()
+    pairs
+      .join(sh.select(col("id").as("src"), col("sh").as("sha")), "src")
+      .join(sh.select(col("id").as("dst"), col("sh").as("shb")), "dst")
+      .where(SimHash.hammingCol(col("sha"), col("shb")) <= cfg.maxHamming)
+      .select(least(col("src").cast("long"), col("dst").cast("long")).as("da"),
+        greatest(col("src").cast("long"), col("dst").cast("long")).as("db"),
+        SimHash.hammingCol(col("sha"), col("shb")).as("hamming"))
+  }
+
+  /** ±1 random-hyperplane literal for plane p over `dim` dims (seeded). */
+  private def hyperplane(p: Int, dim: Int, seed: Long): Column =
+    array((0 until dim).map { j =>
+      lit(if ((Hashing.splitmix64(seed + p * 1024L + j) & 1L) == 1L) 1.0 else -1.0)
+    }: _*)
+
+  /**
+   * ANN over embeddings via random-hyperplane LSH (sign-of-dot sketch) with
+   * OR-amplification: L independent hash tables of `planes` bits each;
+   * candidates = union of same-bucket pairs across tables, then exact cosine
+   * top-k within the candidate set. The scale path of the brute-force q23:
+   * per-table candidate sets shrink ~2^planes× while the probability that a
+   * true near neighbor shares a bucket in AT LEAST ONE table is
+   * 1-(1-(1-θ/π)^planes)^L (Goemans–Williamson per-plane match rate) —
+   * e.g. θ=30°: planes=4, L=6 → 0.97.
+   */
+  def annLshTopk(spark: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val tables = 6
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+    // bucket count tracks corpus size: target ~32 vectors per bucket so the
+    // per-table in-bucket scan is ~n·32 instead of n²
+    val n = e.count()
+    val planes = math.max(3, (math.log(math.max(n, 1L).toDouble / 32.0) / math.log(2.0)).floor.toInt)
+    val bits = (tbl: Int) => (0 until planes).map { p =>
+      val d = aggregate(zip_with(col("v"), hyperplane(tbl * 64 + p, dim, 77L), (x, w) => x * w),
+        lit(0.0), (a, x) => a + x)
+      when(d > 0, 1L << p).otherwise(0L)
+    }.reduce(_ + _)
+    val bucketed = e.select(col("vec_id"), col("v"), col("nrm"),
+      posexplode(array((0 until tables).map(bits): _*)).as(Seq("tbl", "bucket")))
+    val cand = bucketed.as("r").join(
+        bucketed.select(col("vec_id").as("qid"), col("tbl"), col("bucket")).as("l"),
+        Seq("tbl", "bucket"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"))
+      .distinct()
+    val scored = cand
+      .join(e.select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn")), "qid")
+      .join(e.select(col("vec_id").as("nid"), col("v").as("nv"), col("nrm").as("nn")), "nid")
+      .select(col("qid"), col("nid"),
+        (aggregate(zip_with(col("qv"), col("nv"), (x, y) => x * y), lit(0.0), (a, x) => a + x) /
+          (col("qn") * col("nn"))).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("qid"), col("nid"), col("rank"), round(col("cos"), 4).as("cos"))
+  }
+
+  // ---- full pipeline over the synthetic image+caption corpus -------------
+
+  private def runPipeline(spark: SparkSession, dir: String) =
+    graft.Dedup.run(spark, Synth.corpus(spark, synthRows(dir)).toDF(), DedupConfig.default)
+
+  def pipelineClusters(spark: SparkSession, dir: String): DataFrame =
+    runPipeline(spark, dir).clusters
+
+  def pipelineDecisions(spark: SparkSession, dir: String): DataFrame =
+    runPipeline(spark, dir).decisions
+      .select("image_id", "decision", "best_match_id", "best_score", "cluster_id")
+
+  def pipelineVerifiedPairs(spark: SparkSession, dir: String): DataFrame =
+    runPipeline(spark, dir).verified
+      .select("src", "dst", "content_sim", "meta_sim", "hybrid", "phash_hamming",
+        "is_substring", "is_edge", "match_score", "confidence")
+
+  def pipelineLowQuality(spark: SparkSession, dir: String): DataFrame =
+    runPipeline(spark, dir).lowQuality
+      .select("image_id", "caption", "quality_score", "quality_severity")
+
+  def pipelineClusterStats(spark: SparkSession, dir: String): DataFrame =
+    runPipeline(spark, dir).clusters
+      .groupBy("cluster_id").agg(count(lit(1)).as("members"))
+      .groupBy("members").agg(count(lit(1)).as("clusters"))
+
+  /** Multimodal feature extraction: decode the binary image column
+    * (javax.imageio — a real decode, not a stub) per partition, emit typed
+    * features. The mapPartitions batch shape is the same plumbing a Pandas
+    * UDF / mapInPandas stage would use on a Python cluster. */
+  def imageFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = math.min(synthRows(dir), 4000L) // decode cost cap for the dump
+    Synth.corpus(spark, n).mapPartitions { it =>
+      it.map { r =>
+        val img = Images.decode(r.bytes)
+        var sum = 0.0
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) { sum += (img.getRGB(x, y) & 0xff); x += 1; }
+          y += 1
+        }
+        val mean = sum / (img.getWidth * img.getHeight)
+        (r.image_id, r.fmt, img.getWidth, img.getHeight,
+          math.round(mean * 100.0) / 100.0, Images.phash(img) == r.phash)
+      }
+    }.toDF("image_id", "fmt", "w", "h", "mean_gray", "phash_consistent")
+  }
+
+  /** Exact dedup by content fingerprint over the synthetic corpus
+    * (groupBy-hash exact dedup; non-trivial because the corpus plants
+    * byte-identical rows). */
+  def exactDedupCorpus(spark: SparkSession, dir: String): DataFrame =
+    Synth.corpus(spark, synthRows(dir)).toDF()
+      .groupBy(xxhash64(col("caption")).as("caption_hash"),
+        col("w"), col("h"), col("fmt"), col("phash"))
+      .agg(count(lit(1)).as("copies"), min(col("image_id")).as("keeper"))
+      .where(col("copies") > 1)
+
+  /** Substring-duplicate pairs over the corpus captions (suffix pass). */
+  def substringPairsCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val caps = Synth.corpus(spark, synthRows(dir)).toDF()
+      .select(col("image_id").as("id"), Shingle.normalizeCol(col("caption")).as("norm"))
+    graft.sig.SuffixDup.substringPairs(caps, DedupConfig.default)
+  }
+}

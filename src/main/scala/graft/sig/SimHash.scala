@@ -1,7 +1,11 @@
 package graft.sig
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.{Column, GraftBridge}
 
 /**
  * Image-side near-duplicate sketching over the 64-bit perceptual hash.
@@ -78,4 +82,43 @@ object SimHash {
     lit(1.0) - hammingCol(a, b).cast("double") / lit(64.0)
 
   def hammingSim(a: Long, b: Long): Double = 1.0 - hamming(a, b) / 64.0
+
+  /** Classic 64-bit SimHash of a set of element hashes: bit i is the
+    * majority vote of bit i across elements (ties → 0). */
+  def simhash64(hashes: Array[Long]): Long = {
+    val counts = new Array[Int](64)
+    var j = 0
+    while (j < hashes.length) {
+      val h = hashes(j)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+        i += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (counts(i) > 0) out |= (1L << i); i += 1 }
+    out
+  }
+
+  /** Column form of `simhash64` over an array<long> column. */
+  def simhash64Col(hashes: Column): Column =
+    GraftBridge.column(SimHash64(GraftBridge.expression(hashes)))
+}
+
+/** Catalyst expression: 64-bit SimHash of an array<long> column
+  * (single pass; CodegenFallback like MinHashSignature). */
+case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    if (arr.numElements() == 0) null
+    else java.lang.Long.valueOf(SimHash.simhash64(arr.toLongArray()))
+  }
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+  override def prettyName: String = "simhash64"
 }

@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{Documents, Engine}
+
+/**
+ * Containment/sanity evidence for the approximate (rows-only) operators
+ * against their exact twins on the driver's sf0.001 tables:
+ *  - MinHash/LSH candidates must contain every exact-Jaccard pair >= 0.5
+ *    (the s-curve puts P(candidate) > 0.999 there);
+ *  - ANN-LSH top-1 should usually agree with brute-force top-1.
+ */
+class EngineQuerySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("minhash candidates contain all exact jaccard >= 0.5 pairs") {
+    import spark.implicits._
+    val exact = Documents.q21NgramJaccard(spark, dir)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    // q21 shingles are word 3-grams; the minhash query sketches unigram
+    // token sets — high 3-gram Jaccard implies high token Jaccard.
+    val approx = Engine.minhashCandidatesDocs(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    val missed = exact -- approx
+    info(s"exact pairs=${exact.size} lsh candidates=${approx.size} missed=${missed.size}")
+    assert(exact.nonEmpty, "sf0.001 documents should contain planted near-dups")
+    assert(missed.isEmpty, s"LSH missed exact pairs: $missed")
+  }
+
+  test("simhash doc pairs overlap exact near-dups") {
+    import spark.implicits._
+    val exact = Documents.q21NgramJaccard(spark, dir)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    val sim = Engine.simhashDocs(spark, dir)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    info(s"exact=${exact.size} simhash=${sim.size} overlap=${(exact intersect sim).size}")
+    assert(sim.nonEmpty)
+  }
+
+  test("ann lsh topk: top-1 agreement with brute force on shared queries") {
+    import spark.implicits._
+    val bf = Documents.q23EmbedTopk(spark, dir)
+      .where("rank = 1").select("qid", "nid").as[(Long, Long)].collect().toMap
+    val ann = Engine.annLshTopk(spark, dir)
+      .where("rank = 1 and qid < 20").select("qid", "nid").as[(Long, Long)].collect().toMap
+    val shared = bf.keySet intersect ann.keySet
+    val agree = shared.count(q => bf(q) == ann(q))
+    info(s"bf queries=${bf.size} ann answered=${shared.size} top1 agree=$agree")
+    // LSH buckets may not contain the true NN for every query; demand a majority
+    assert(shared.nonEmpty && agree * 2 >= shared.size)
+  }
+
+  test("exact dedup over corpus finds the planted identical groups") {
+    import spark.implicits._
+    val groups = Engine.exactDedupCorpus(spark, dir)
+      .select("copies").as[Long].collect()
+    assert(groups.nonEmpty)
+    assert(groups.max >= Engine.synthRows(dir) / 20, "hot group must surface")
+  }
+
+  test("substring pairs over corpus are non-empty and verified") {
+    val pairs = Engine.substringPairsCorpus(spark, dir)
+    assert(pairs.count() > 0)
+  }
+
+  test("image features decode consistently") {
+    import spark.implicits._
+    val feats = Engine.imageFeatures(spark, dir)
+    val inconsistent = feats.where("not phash_consistent").count()
+    assert(inconsistent == 0, "recomputed phash must equal stored phash")
+  }
+}
