@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local mode = driver-only JVM; 32 executor threads in a small heap spill
+  // and GC-thrash (machine has 128 GiB — leave headroom for the OS cache)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
+  // Spark's whole-stage codegen emits many classes; once the default 240MB
+  // JIT code cache fills, compilation stops and queries run interpreted
+  // (measured: the SAME query 10s on first run, 130s on a later run)
+  "-XX:ReservedCodeCacheSize=2g",
 )

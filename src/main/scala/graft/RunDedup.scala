@@ -23,15 +23,7 @@ object RunDedup {
     val inputPath = if (args.length > 2) Some(args(2)) else None
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
-      .appName("graft-dedup")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.util.Sessions.build("graft-dedup", cpus)
 
     val input = inputPath.map(spark.read.parquet(_)).getOrElse(Synth.corpus(spark, n).toDF())
     val result = Dedup.runCheckpointed(spark, input, outDir, DedupConfig.default)

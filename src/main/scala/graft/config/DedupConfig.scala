@@ -36,9 +36,14 @@ final case class DedupConfig(
     bands: Int = 32, // rowsPerBand = numHashes / bands = 4
     hashSeed: Long = 42L, // matches Spark's builtin xxhash64 default seed
     // image side: SimHash bands over the 64-bit phash. Candidates join on
-    // two-slice combo keys => perfect recall for Hamming <= phashBands-2.
+    // `phashAgree`-slice combo keys => perfect recall for
+    // Hamming <= phashBands - phashAgree, false-positive rate
+    // C(bands,agree)/2^(agree*8) per random pair (3-of-8 => 3.3e-6; the
+    // 2-of-8 default of 4.3e-4 already produced ~4 FP candidates per row
+    // at 20k rows — quadratic at scale).
     phashBands: Int = 8,
-    maxHamming: Int = 6, // = phashBands - 2: inside the pigeonhole guarantee
+    phashAgree: Int = 3,
+    maxHamming: Int = 5, // = phashBands - phashAgree: inside the guarantee
     // substring pass
     substringMinLen: Int = 12, // captions shorter than this are too noisy to match
     // skew handling
@@ -52,8 +57,8 @@ final case class DedupConfig(
     maxCcIterations: Int = 50
 ) {
   require(numHashes % bands == 0, "numHashes must be divisible by bands")
-  require(maxHamming <= phashBands - 2,
-    "combo-key banding only guarantees recall for Hamming <= phashBands-2")
+  require(maxHamming <= phashBands - phashAgree,
+    "combo-key banding only guarantees recall for Hamming <= phashBands-phashAgree")
   def rowsPerBand: Int = numHashes / bands
   def prefilterThreshold: Double = flagThreshold * prefilterFactor
 

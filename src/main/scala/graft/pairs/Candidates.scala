@@ -23,8 +23,8 @@ import graft.sig.{MinHash, Shingle, SimHash, SuffixDup}
  *  2. MINHASH LSH over the reps: explode band keys, self-join on
  *     (band, key). Buckets above `bucketSizeCap` go through a salted
  *     grid join (see `saltedSelfJoin`) so no single reducer sees O(m²) work.
- *  3. SIMHASH over distinct phashes (pigeonhole bands; perfect recall for
- *     Hamming <= bands-1), plus same-phash membership pairs.
+ *  3. SIMHASH over distinct phashes (agree-of-bands pigeonhole combo keys;
+ *     perfect recall for Hamming <= bands-agree), plus same-phash pairs.
  *  4. SUBSTRING pass over distinct normalized captions, expanded back to
  *     members (the substring rule is a caption-level property).
  *
@@ -33,13 +33,16 @@ import graft.sig.{MinHash, Shingle, SimHash, SuffixDup}
  */
 object Candidates {
 
-  /** Exact-feature key and representative; input must carry
-    * (image_id, norm, w, h, fmt, phash). Adds `exact_key` and `rep`. */
-  def withExactRep(features: DataFrame): DataFrame = {
-    val keyed = features.withColumn("exact_key",
-      xxhash64(col("norm"), col("w"), col("h"), col("fmt"), col("phash")))
-    keyed.withColumn("rep", min(col("image_id")).over(Window.partitionBy(col("exact_key"))))
-  }
+  /** Exact-feature representative; input must carry
+    * (image_id, norm, w, h, fmt, phash). Adds `rep` = min image_id of the
+    * identical-feature group. Grouping is on the RAW columns, not a 64-bit
+    * hash of them: at 10^12 rows a 64-bit key expects ~50k collisions
+    * (n²/2^65), each of which would silently merge unrelated rows into one
+    * exact group. Spark compares full values within the hash-partitioned
+    * window, so this is collision-free at identical shuffle cost. */
+  def withExactRep(features: DataFrame): DataFrame =
+    features.withColumn("rep", min(col("image_id")).over(
+      Window.partitionBy(col("norm"), col("w"), col("h"), col("fmt"), col("phash"))))
 
   /** Unconditional member→rep pairs from exact groups. */
   def exactPairs(withRep: DataFrame): DataFrame =
@@ -47,42 +50,59 @@ object Candidates {
       .select(col("rep").as("src"), col("image_id").as("dst"), lit("exact").as("source"))
 
   /**
-   * Self-join of (id, band, key) rows on (band, key), producing ordered
-   * pairs, with buckets larger than `cap` routed through a salted grid:
-   * members of a big bucket are split into g = ceil(m/cap) salt groups;
-   * pair (si, sj), si <= sj, is produced by exactly one reducer keyed
-   * (band, key, si, sj). Identical pair set to the naive join (asserted in
-   * CandidatesSpec), bounded work per reducer.
+   * All unordered pairs of ids sharing a (band, key) bucket — the LSH
+   * candidate join — with buckets larger than `cap` split into a salted
+   * grid so no reducer sees more than ~2·cap rows.
+   *
+   * Shape: ONE window pass tags bucket size m (g = ceil(m/cap) salt groups,
+   * g=1 for small buckets), each row replicates to grid cells
+   * (si=own salt, sj >= si) as 'l' and (si <= own salt, sj=own salt) as 'r',
+   * then ONE groupBy(band,key,si,sj) collects the cell and pair expansion
+   * happens in codegen'd array expressions: same-cell (si==sj) pairs i<j
+   * over the sorted 'l' list, cross-cell pairs l×r. Exactly the naive
+   * self-join's pair set (asserted in CandidatesSpec).
+   *
+   * Why not a self-join: a join materializes and shuffles the banded table
+   * once per side per branch — measured 4 shuffles of 90MB and ~800 CPU-s
+   * at 5M banded rows; this shape is 2 shuffles and ~1/10 the CPU. Group
+   * size is bounded by 2·cap, so collect_list cannot OOM a reducer.
    */
   def saltedSelfJoin(banded: DataFrame, cap: Int): DataFrame = {
-    val sizes = banded.groupBy("band", "bkey").agg(count(lit(1)).as("m"))
-    val tagged = banded.join(sizes, Seq("band", "bkey"))
-
-    val small = tagged.where(col("m") <= cap).drop("m")
-    val smallPairs = small.as("l").join(small.as("r"),
-        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("src"), col("r.id").as("dst"))
-
-    val big = tagged.where(col("m") > cap)
-      .withColumn("g", ceil(col("m").cast("double") / cap).cast("int"))
+    val tagged = banded
+      .withColumn("m", count(lit(1)).over(Window.partitionBy(col("band"), col("bkey"))))
+      // singleton buckets (the overwhelming majority under selective keys)
+      // cannot produce a pair — drop them before replication/grouping
+      .where(col("m") >= 2)
+      .withColumn("g",
+        when(col("m") <= cap, lit(1))
+          .otherwise(ceil(col("m").cast("double") / cap)).cast("int"))
       .withColumn("salt", pmod(xxhash64(col("id")), col("g")).cast("int"))
-    // left replicated to (salt, sj) for sj in salt..g-1; right to (si, salt) for si in 0..salt
-    val bigL = big.select(col("band"), col("bkey"), col("id"), col("salt").as("si"),
-      explode(sequence(col("salt"), col("g") - 1)).as("sj"))
-    val bigR = big.select(col("band"), col("bkey"), col("id"), col("salt").as("sj2"),
-      explode(sequence(lit(0), col("salt"))).as("si2"))
-    // cross-group reducers (si < sj) see each unordered pair exactly once
-    // (left emits only keys with si = own salt); same-group reducers
-    // (si == sj) order by id to avoid double counting.
-    val bigPairs = bigL.as("l").join(bigR.as("r"),
-        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
-          col("l.si") === col("r.si2") && col("l.sj") === col("r.sj2"))
-      .where(col("l.si") < col("l.sj") || col("l.id") < col("r.id"))
-      .select(least(col("l.id"), col("r.id")).as("src"),
-        greatest(col("l.id"), col("r.id")).as("dst"))
 
-    smallPairs.union(bigPairs)
+    val left = tagged.select(col("band"), col("bkey"), col("id"),
+      col("salt").as("si"), explode(sequence(col("salt"), col("g") - 1)).as("sj"),
+      lit("l").as("side"))
+    val right = tagged.select(col("band"), col("bkey"), col("id"),
+      explode(sequence(lit(0), col("salt"))).as("si"), col("salt").as("sj"),
+      lit("r").as("side"))
+
+    val cells = left.unionByName(right)
+      .groupBy(col("band"), col("bkey"), col("si"), col("sj"))
+      .agg(
+        sort_array(collect_list(when(col("side") === "l", col("id")))).as("ls"),
+        sort_array(collect_list(when(col("side") === "r", col("id")))).as("rs"))
+
+    val idx = sequence(lit(1), size(col("ls")))
+    val selfPairs = filter(
+      flatten(transform(idx, i => transform(idx, j =>
+        when(i < j, struct(element_at(col("ls"), i).as("src"),
+          element_at(col("ls"), j).as("dst")))))),
+      p => p.isNotNull)
+    val crossPairs = flatten(transform(col("ls"), a => transform(col("rs"), b =>
+      struct(least(a, b).as("src"), greatest(a, b).as("dst")))))
+
+    cells
+      .select(explode(when(col("si") === col("sj"), selfPairs).otherwise(crossPairs)).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
   }
 
   /** MinHash/LSH candidates over the exact-group representatives. */
@@ -93,15 +113,18 @@ object Candidates {
         posexplode(MinHash.bandKeysCol(
           MinHash.signatureCol(col("shingles"), cfg.numHashes, cfg.hashSeed),
           cfg.bands, cfg.hashSeed)).as(Seq("band", "bkey")))
+    // no distinct here: the verifier's groupBy(src,dst) dedups all
+    // generators at once — a per-generator distinct is a wasted shuffle
     saltedSelfJoin(banded, cfg.bucketSizeCap)
-      .distinct()
       .withColumn("source", lit("minhash"))
   }
 
   /** SimHash candidates: distinct phashes banded by pigeonhole slices,
     * plus same-phash membership pairs (Hamming 0). */
   def simhashPairs(clean: DataFrame, cfg: DedupConfig): DataFrame = {
-    val phRep = clean
+    // project before the window: the phash shuffle carries 2 columns, not
+    // the whole feature row (shingle arrays dominate row width)
+    val phRep = clean.select(col("image_id"), col("phash"))
       .withColumn("prep", min(col("image_id")).over(Window.partitionBy(col("phash"))))
     val samePhash = phRep.where(col("image_id") =!= col("prep"))
       .select(col("prep").as("src"), col("image_id").as("dst"))
@@ -109,8 +132,8 @@ object Candidates {
     val distinctPh = phRep.where(col("image_id") === col("prep"))
       .select(col("prep").as("id"), col("phash"))
     val banded = distinctPh.select(col("id"),
-      posexplode(SimHash.comboKeysCol(col("phash"), cfg.phashBands)).as(Seq("band", "bkey")))
-    val bandPairs = saltedSelfJoin(banded, cfg.bucketSizeCap).distinct()
+      posexplode(SimHash.comboKeysCol(col("phash"), cfg.phashBands, cfg.phashAgree)).as(Seq("band", "bkey")))
+    val bandPairs = saltedSelfJoin(banded, cfg.bucketSizeCap)
 
     samePhash.union(bandPairs).withColumn("source", lit("simhash"))
   }
@@ -118,7 +141,7 @@ object Candidates {
   /** Substring candidates over distinct normalized captions, expanded back
     * to all member rows (caption-level rule → member-level edges). */
   def substringPairs(clean: DataFrame, cfg: DedupConfig): DataFrame = {
-    val normRep = clean
+    val normRep = clean.select(col("image_id"), col("norm"))
       .withColumn("nrep", min(col("image_id")).over(Window.partitionBy(col("norm"))))
     val membership = normRep.select(col("image_id").as("member"), col("norm"))
     val reps = normRep.where(col("image_id") === col("nrep"))
@@ -137,7 +160,6 @@ object Candidates {
     left.union(right)
       .where(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("src"), greatest(col("a"), col("b")).as("dst"))
-      .distinct()
       .withColumn("source", lit("substring"))
   }
 }

@@ -113,7 +113,10 @@ object Documents {
     * inverted-index shingle join — the ORACLE-CHECKABLE dedup query
     * (MinHash/LSH is its approximate, scale-path twin in Engine.scala). */
   def q21NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // repartition: the table is one parquet split; shingling must not run
+    // as a single task
     val sh = t(spark, dir, "documents")
+      .repartition(col("doc_id"))
       .select(col("doc_id"), explode(shingles3(col("text"))).as("s"))
       .distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))

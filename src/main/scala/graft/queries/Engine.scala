@@ -31,10 +31,11 @@ object Engine {
 
   private def toks(c: Column): Column = filter(split(c, " "), x => length(x) > 0)
 
-  /** Corpus size for pipeline queries: scale factor drives row count. */
+  /** Corpus size for pipeline queries: scale factor drives row count
+    * (sf0.001 → 1k, sf0.01 → 10k, sf0.1 → 100k). */
   def synthRows(dir: String): Long = {
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(1).toDouble).getOrElse(0.001)
-    math.max(400L, (sf * 200000).toLong)
+    math.max(400L, (sf * 1000000).toLong)
   }
 
   /** MinHash/LSH near-dup candidate pairs over documents — the approximate,
@@ -44,7 +45,10 @@ object Engine {
     * sketch fires on ~86% of all pairs — measured — and degenerates to n²). */
   def minhashCandidatesDocs(spark: SparkSession, dir: String): DataFrame = {
     val cfg = DedupConfig.default
+    // the table is a single parquet split: without a repartition the whole
+    // shingle+signature projection runs as ONE task
     val sh = t(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id").cast("string").as("id"),
         array_distinct(transform(Documents.shingles3(col("text")), x => xxhash64(x))).as("hashes"))
       .where(size(col("hashes")) > 0)
@@ -61,16 +65,17 @@ object Engine {
   }
 
   /** SimHash near-dup pairs over documents: 64-bit token-set SimHash,
-    * combo-key banding, Hamming <= 6 verification. */
+    * combo-key banding, Hamming <= cfg.maxHamming verification. */
   def simhashDocs(spark: SparkSession, dir: String): DataFrame = {
     val cfg = DedupConfig.default
     val sh = t(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id").cast("string").as("id"),
         SimHash.simhash64Col(
           array_distinct(transform(Documents.shingles3(col("text")), x => xxhash64(x)))).as("sh"))
       .where(col("sh").isNotNull)
     val banded = sh.select(col("id"),
-      posexplode(SimHash.comboKeysCol(col("sh"), cfg.phashBands)).as(Seq("band", "bkey")))
+      posexplode(SimHash.comboKeysCol(col("sh"), cfg.phashBands, cfg.phashAgree)).as(Seq("band", "bkey")))
     val pairs = Candidates.saltedSelfJoin(banded, cfg.bucketSizeCap).distinct()
     pairs
       .join(sh.select(col("id").as("src"), col("sh").as("sha")), "src")

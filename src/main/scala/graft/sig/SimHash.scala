@@ -50,25 +50,32 @@ object SimHash {
     Array.tabulate(bands)(b => (phash >>> (b * width)) & mask)
   }
 
-  /** All C(bands,2) two-slice combo keys (perfect recall for
-    * Hamming <= bands-2). Exact encoding, no collisions. */
-  def comboKeysCol(phash: Column, bands: Int): Column = {
+  /** All size-`agree` subsets of band indices, in lexicographic order. */
+  def subsets(bands: Int, agree: Int): Seq[Seq[Int]] =
+    (0 until bands).combinations(agree).map(_.toSeq).toSeq
+
+  /** All C(bands,agree) `agree`-slice combo keys: perfect recall for
+    * Hamming <= bands-agree, FP rate C(bands,agree)/2^(agree*width) per
+    * random pair. Exact key encoding (comboIdx then slice values packed),
+    * no hash collisions. Larger `agree` trades guarantee radius for
+    * selectivity — at web scale the FP floor is n²·rate, so rate must
+    * shrink as n grows. */
+  def comboKeysCol(phash: Column, bands: Int, agree: Int = 2): Column = {
     val width = 64 / bands
     val slices = (0 until bands).map { b =>
       shiftright(phash, b * width).bitwiseAND(lit((1L << width) - 1L))
     }
-    val combos = for (i <- 0 until bands; j <- (i + 1) until bands) yield (i, j)
-    array(combos.zipWithIndex.map { case ((i, j), c) =>
-      (lit(c.toLong * (1L << (2 * width))) + shiftleft(slices(i), width) + slices(j)).cast("long")
+    array(subsets(bands, agree).zipWithIndex.map { case (idxs, c) =>
+      idxs.foldLeft(lit(c.toLong): Column)((acc, i) =>
+        shiftleft(acc, width) + slices(i)).cast("long")
     }: _*)
   }
 
-  def comboKeys(phash: Long, bands: Int): Array[Long] = {
+  def comboKeys(phash: Long, bands: Int, agree: Int = 2): Array[Long] = {
     val width = 64 / bands
     val slices = phashBands(phash, bands)
-    val combos = for (i <- 0 until bands; j <- (i + 1) until bands) yield (i, j)
-    combos.zipWithIndex.map { case ((i, j), c) =>
-      c.toLong * (1L << (2 * width)) + (slices(i) << width) + slices(j)
+    subsets(bands, agree).zipWithIndex.map { case (idxs, c) =>
+      idxs.foldLeft(c.toLong)((acc, i) => (acc << width) + slices(i))
     }.toArray
   }
 

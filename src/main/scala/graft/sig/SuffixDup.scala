@@ -32,13 +32,13 @@ import graft.config.DedupConfig
  */
 object SuffixDup {
 
-  /** Fixed prefix window for suffix keys. */
-  val PrefixWindow = 16
+  /** Wide prefix tier: probes of at least this length join on a 32-char key
+    * (selective even over a small vocabulary); shorter probes fall back to
+    * the `substringMinLen`-char tier. A suffix emits a key per tier its
+    * remaining length covers, so the equi-join on (tier, key) loses no true
+    * match: any suffix that starts with a probe is at least as long as it. */
+  val WideWindow = 32
 
-  /** Join key: the first `width` characters. `width = min(PrefixWindow,
-    * substringMinLen)`, and both probe captions and build suffixes shorter
-    * than `substringMinLen` are dropped, so every key on either side is
-    * exactly `width` chars — the equi-join loses no true match. */
   def prefixKey(c: Column, width: Int): Column = substring(c, 1, width)
 
   /**
@@ -49,30 +49,46 @@ object SuffixDup {
    * both orientations possible.
    */
   def substringPairs(captions: DataFrame, cfg: DedupConfig): DataFrame = {
-    val w = math.min(PrefixWindow, cfg.substringMinLen)
+    val narrow = cfg.substringMinLen
 
-    // probe side: captions long enough to be meaningful substrings
+    // probe side: captions long enough to be meaningful substrings; each
+    // probe joins on the widest tier its length covers (narrow keys over a
+    // small vocabulary are shared by thousands of rows — measured ~5M join
+    // hits at 100k rows, 200 CPU-seconds of `contains` verification; the
+    // 32-char tier collapses that to approximately the true matches)
     val probe = captions
-      .where(length(col("norm")) >= cfg.substringMinLen)
+      .where(length(col("norm")) >= narrow)
       .select(col("id").as("a_id"), col("norm").as("a_norm"),
-        prefixKey(col("norm"), w).as("k"))
+        when(length(col("norm")) >= WideWindow, lit(WideWindow)).otherwise(lit(narrow)).as("tier"),
+        when(length(col("norm")) >= WideWindow, prefixKey(col("norm"), WideWindow))
+          .otherwise(prefixKey(col("norm"), narrow)).as("k"))
 
-    // build side: token-aligned suffixes of every caption, keyed by first w chars
-    val toks = captions.select(
-      col("id").as("b_id"), col("norm").as("b_norm"),
-      split(col("norm"), " ").as("toks"))
-    val suffixes = toks
-      .select(col("b_id"), col("b_norm"),
-        explode(
-          transform(sequence(lit(1), size(col("toks"))),
-            i => concat_ws(" ", slice(col("toks"), i, size(col("toks"))))))
-          .as("suffix"))
-      .where(length(col("suffix")) >= cfg.substringMinLen)
-      .select(col("b_id"), col("b_norm"), prefixKey(col("suffix"), w).as("k"))
-      .dropDuplicates("b_id", "k")
+    // build side: the first tier-width chars of every token-aligned suffix,
+    // from character offsets — NOT by materializing suffix strings (that is
+    // O(len²) bytes per caption; offsets cut this stage from 54s to single
+    // digits at 100k rows). A suffix emits one key per tier it covers.
+    val tk = split(col("norm"), " ")
+    val starts = slice(
+      aggregate(tk, array(lit(1)),
+        (acc, t) => concat(acc, array(element_at(acc, -1) + length(t) + lit(1)))),
+      lit(1), size(tk))
+    val suffixes = captions
+      .select(col("id").as("b_id"), col("norm").as("b_norm"),
+        explode(flatten(transform(
+          filter(starts, p => length(col("norm")) - p + 1 >= narrow),
+          p => {
+            val rem = length(col("norm")) - p + 1
+            val narrowKey = struct(lit(narrow).as("tier"),
+              col("norm").substr(p, lit(narrow)).as("k"))
+            val wideKey = struct(lit(WideWindow).as("tier"),
+              col("norm").substr(p, lit(WideWindow)).as("k"))
+            when(rem >= WideWindow, array(narrowKey, wideKey)).otherwise(array(narrowKey))
+          }))).as("tk"))
+      .select(col("b_id"), col("b_norm"), col("tk.tier").as("tier"), col("tk.k").as("k"))
+      .dropDuplicates("b_id", "tier", "k")
 
     probe
-      .join(suffixes, "k")
+      .join(suffixes, Seq("tier", "k"))
       .where(col("a_id") =!= col("b_id"))
       // containment starting at a token boundary, verified on full strings
       // (identical rule to `isTokenAlignedSubstring` below)

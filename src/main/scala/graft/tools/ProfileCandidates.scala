@@ -1,0 +1,95 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+
+import graft.config.DedupConfig
+import graft.pairs.Candidates
+import graft.Dedup
+
+/** Dev tool: time each candidate generator in isolation over a materialized
+  * features table. Usage: ProfileCandidates <featuresParquetDir>. */
+object ProfileCandidates {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.util.Sessions.build("graft-profile", cpus)
+    val cfg = DedupConfig.default
+
+    val feats = spark.read.parquet(args(0))
+    val clean = feats.where(!col("is_low_quality")).cache()
+    println(s"clean rows: ${clean.count()}")
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$name%-14s rows=$n%8d  ${(System.nanoTime() - t0) / 1e9}%8.1f s")
+    }
+
+    val only = sys.env.get("GRAFT_PROFILE_ONLY")
+    if (only.contains("docs")) {
+      val timer = StageTimer.attach(spark)
+      time("mh-docs-1") { graft.queries.Engine.minhashCandidatesDocs(spark, "/root/testdata/sf0.1").count() }
+      time("mh-docs-2") { graft.queries.Engine.minhashCandidatesDocs(spark, "/root/testdata/sf0.1").count() }
+      time("mh-docs-3") { graft.queries.Engine.minhashCandidatesDocs(spark, "/root/testdata/sf0.1").count() }
+      timer.report(10)
+      spark.stop(); return
+    }
+    if (only.contains("union")) {
+      val timer = StageTimer.attach(spark)
+      time("union-all") { Dedup.candidates(clean, cfg).count() }
+      timer.report(12)
+      spark.stop(); return
+    }
+    if (only.contains("simhash")) {
+      import graft.sig.SimHash
+      val phRep = clean.select(col("image_id"), col("phash"))
+        .withColumn("prep", min(col("image_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("phash"))))
+      val distinctPh = phRep.where(col("image_id") === col("prep"))
+        .select(col("prep").as("id"), col("phash"))
+      time("ph-window") { distinctPh.count() }
+      val banded = distinctPh.select(col("id"),
+        posexplode(SimHash.comboKeysCol(col("phash"), cfg.phashBands, cfg.phashAgree))
+          .as(Seq("band", "bkey")))
+      time("ph-explode") { banded.count() }
+      time("ph-salted") { Candidates.saltedSelfJoin(banded, cfg.bucketSizeCap).count() }
+      val timer = StageTimer.attach(spark)
+      time("ph-salted2") { Candidates.saltedSelfJoin(banded, cfg.bucketSizeCap).count() }
+      timer.report(8)
+      spark.stop(); return
+    }
+    if (only.contains("substr")) {
+      val timer = StageTimer.attach(spark)
+      time("substr-full") { Candidates.substringPairs(clean, cfg).count() }
+      timer.report()
+      spark.stop(); return
+    }
+    val withRep = Candidates.withExactRep(clean)
+    time("exact") { Candidates.exactPairs(withRep).count() }
+    val reps = Candidates.withExactRep(clean).where(col("image_id") === col("rep")).cache()
+    time("reps") { reps.count() }
+
+    // bisect the minhash path
+    import graft.sig.MinHash
+    val sigs = reps.where(col("shingles").isNotNull && size(col("shingles")) > 0)
+      .select(col("image_id").as("id"),
+        MinHash.signatureCol(col("shingles"), cfg.numHashes, cfg.hashSeed).as("sig"))
+    time("sig-proj") { sigs.count() }
+    val banded = sigs.select(col("id"),
+      posexplode(MinHash.bandKeysCol(col("sig"), cfg.bands, cfg.hashSeed)).as(Seq("band", "bkey")))
+    time("banded") { banded.count() }
+    val bandedC = banded.cache()
+    time("banded-cache") { bandedC.count() }
+    time("plain-selfjoin") {
+      bandedC.as("l").join(bandedC.as("r"),
+        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+          col("l.id") < col("r.id")).count()
+    }
+    time("salted-join") { Candidates.saltedSelfJoin(bandedC, cfg.bucketSizeCap).count() }
+    time("minhash-full") { Candidates.minhashPairs(reps, cfg).count() }
+    time("simhash-full") { Candidates.simhashPairs(clean, cfg).count() }
+    time("substr-full") { Candidates.substringPairs(clean, cfg).count() }
+    time("union-all") { Dedup.candidates(clean, cfg).count() }
+    spark.stop()
+  }
+}

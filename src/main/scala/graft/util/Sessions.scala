@@ -1,0 +1,36 @@
+package graft.util
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * One place for the engine's Spark session tuning so every entry point
+ * (RunDedup, Bench, Verify, ScalingBench, tests) runs the same profile:
+ *
+ *  - shuffle.partitions = cores: local mode has no reason for 200.
+ *  - AQE ON for runtime skew-join splitting, but partition COALESCING OFF:
+ *    measured on the band self-joins (3M exploded rows), the 64MB advisory
+ *    size folds the CPU-bound join into ~1 partition and serializes it —
+ *    27s vs 8s for the same join. Shuffle sizes here are small in bytes but
+ *    large in CPU; parallelism matters more than shuffle-file count.
+ *  - shuffled hash join preferred over sort-merge: the LSH band joins are
+ *    narrow (two longs + an id) with near-unique keys; sorting dominates
+ *    SMJ cost while a hash table per partition is cheap.
+ */
+object Sessions {
+  def build(appName: String, cpus: String,
+      extra: Map[String, String] = Map.empty): SparkSession = {
+    val b = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    extra.foreach { case (k, v) => b.config(k, v) }
+    val s = b.getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -88,15 +88,15 @@ class SigSpec extends AnyFunSuite {
     assert(cfg.candidateProbability(0.3) <= 0.5)
   }
 
-  test("simhash pigeonhole: combo keys guarantee hamming <= bands-2 collision") {
+  test("simhash pigeonhole: combo keys guarantee hamming <= bands-agree collision") {
     val rnd = new scala.util.Random(11)
     for (_ <- 0 until 500) {
       val a = rnd.nextLong()
       var b = a
-      val flips = rnd.nextInt(cfg.phashBands - 1) // 0..bands-2 bit flips
+      val flips = rnd.nextInt(cfg.phashBands - cfg.phashAgree + 1) // 0..bands-agree bit flips
       (0 until flips).foreach(_ => b ^= (1L << rnd.nextInt(64)))
-      val ka = SimHash.comboKeys(a, cfg.phashBands).toSet
-      val kb = SimHash.comboKeys(b, cfg.phashBands).toSet
+      val ka = SimHash.comboKeys(a, cfg.phashBands, cfg.phashAgree).toSet
+      val kb = SimHash.comboKeys(b, cfg.phashBands, cfg.phashAgree).toSet
       assert(ka.intersect(kb).nonEmpty,
         s"hamming=${SimHash.hamming(a, b)} must share a combo key")
     }
@@ -106,9 +106,9 @@ class SigSpec extends AnyFunSuite {
     import spark.implicits._
     val phashes = Seq(0L, -1L, 123456789123L, Long.MinValue, 0x5a5a5a5a5a5a5a5aL)
     val got = phashes.toDF("p")
-      .select(SimHash.comboKeysCol(col("p"), cfg.phashBands)).as[Seq[Long]].collect()
+      .select(SimHash.comboKeysCol(col("p"), cfg.phashBands, cfg.phashAgree)).as[Seq[Long]].collect()
     phashes.zip(got).foreach { case (p, g) =>
-      assert(g == SimHash.comboKeys(p, cfg.phashBands).toSeq)
+      assert(g == SimHash.comboKeys(p, cfg.phashBands, cfg.phashAgree).toSeq)
     }
   }
 

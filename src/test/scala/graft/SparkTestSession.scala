@@ -5,15 +5,7 @@ import org.apache.spark.sql.SparkSession
 /** One local session shared by all suites (scalatest runs suites in one JVM). */
 object SparkTestSession {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-tests")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
+    graft.util.Sessions.build("graft-tests", "4",
+      Map("spark.sql.shuffle.partitions" -> "8"))
   }
 }
