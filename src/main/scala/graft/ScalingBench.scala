@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.config.DedupConfig
+import graft.gen.Synth
+import graft.util.Sessions
+
+/**
+ * Two-cluster-size scaling evidence (BASELINE.json north_rule: "run via
+ * spark-submit at N and 4N executors with throughput scaling efficiency
+ * >= 0.8").
+ *
+ * Sandbox protocol (BASELINE.md): no real cluster exists here, so N and 4N
+ * executors are modeled as local[8] and local[32] — same input, same JVM
+ * memory, `spark.sql.shuffle.partitions` scaled with cores; efficiency
+ * = (T_8 / T_32) / 4.
+ *
+ * Measurement hygiene (learned the hard way — a single-JVM back-to-back
+ * comparison produced local[8] "beating" local[32] 2x purely through JIT
+ * warmup order):
+ *  - each configuration runs in its OWN JVM (scripts/scaling.sh launches
+ *    one `measure` invocation per cluster size);
+ *  - each JVM warms up on a 10%-slice pipeline run before measuring;
+ *  - the corpus is pre-materialized parquet (`gen`), so generator cost and
+ *    OS page cache state are identical for both runs.
+ *
+ * Subcommands:
+ *   gen <rows>              materialize the corpus parquet
+ *   measure <cores> <rows>  run warmup + measured pipeline, print one
+ *                           JSON line tagged [scaling-json]
+ */
+object ScalingBench {
+
+  def corpusPath(rows: Long) = s"target/scaling-corpus-$rows"
+
+  def main(args: Array[String]): Unit = args match {
+    case Array("gen", rowsS) =>
+      val rows = rowsS.toLong
+      if (!Files.exists(Paths.get(corpusPath(rows), "_SUCCESS"))) {
+        val s = Sessions.build("graft-scaling-gen", "32")
+        Synth.corpus(s, rows).write.mode("overwrite").parquet(corpusPath(rows))
+        s.stop()
+      }
+      println(s"[scaling] corpus ready: ${corpusPath(rows)}")
+
+    case Array("measure", coresS, rowsS) =>
+      val cores = coresS.toInt
+      val rows = rowsS.toLong
+      val s = Sessions.build(s"graft-scaling-$cores", cores.toString)
+      // warmup: identical plan shape on a 10% slice, result discarded
+      val warm = s.read.parquet(corpusPath(rows)).limit((rows / 10).toInt)
+      Dedup.run(s, warm, DedupConfig.default).clusters.count()
+
+      val input = s.read.parquet(corpusPath(rows))
+      val t0 = System.nanoTime()
+      val r = Dedup.run(s, input, DedupConfig.default)
+      val clean = r.clusters.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scaling-json] {" +
+        f""""cores":$cores,"rows":$rows,"clean":$clean,"sec":$sec%.2f,""" +
+        f""""images_per_sec":${rows / sec}%.1f}""")
+      s.stop()
+
+    case _ =>
+      System.err.println("usage: ScalingBench gen <rows> | measure <cores> <rows>")
+      sys.exit(2)
+  }
+}

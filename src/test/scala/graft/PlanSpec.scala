@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config.DedupConfig
+import graft.gen.Synth
+import graft.queries.Relational
+
+/**
+ * Physical-plan shape assertions (.explain is a correctness surface at
+ * scale): filters and projections must reach the parquet scan, small
+ * dimensions must broadcast, and the dedup pipeline must never scan the
+ * image `bytes` column it doesn't use.
+ */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q02: predicates push down to the parquet scan") {
+    val p = plan(Relational.q02FilterProject(spark, dir))
+    assert(p.contains("PushedFilters:"), p.take(500))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("l_shipdate"),
+      "shipdate filter must reach the scan")
+  }
+
+  test("q02: scan reads only the referenced columns") {
+    val p = plan(Relational.q02FilterProject(spark, dir))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_returnflag"), readSchema)
+    assert(readSchema.contains("l_orderkey"), readSchema)
+  }
+
+  test("q04: small dimensions join via broadcast") {
+    val p = plan(Relational.q04RegionSuppliers(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("pipeline never scans the image bytes column") {
+    val corpusPath = "target/planspec-corpus"
+    if (!new java.io.File(s"$corpusPath/_SUCCESS").exists()) {
+      Synth.corpus(spark, 400).write.mode("overwrite").parquet(corpusPath)
+    }
+    val input = spark.read.parquet(corpusPath)
+    val r = Dedup.run(spark, input, DedupConfig.default)
+    val p = plan(r.verified)
+    val readSchemas = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(readSchemas.nonEmpty)
+    assert(!readSchemas.contains("bytes"),
+      s"bytes column must be pruned from every scan:\n$readSchemas")
+  }
+
+  test("decisions top-1 uses a single window pass, no extra shuffle of the base") {
+    val corpusPath = "target/planspec-corpus"
+    val input = spark.read.parquet(corpusPath)
+    val r = Dedup.run(spark, input, DedupConfig.default)
+    val p = plan(r.decisions.where(col("decision") =!= "none"))
+    // sanity: a window + joins, and still no bytes scan
+    assert(p.contains("Window"), p.take(400))
+    assert(!p.contains("bytes"))
+  }
+}
