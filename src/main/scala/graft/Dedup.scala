@@ -55,9 +55,13 @@ object Dedup {
         "norm", "shingles")
 
   def candidates(clean: DataFrame, cfg: DedupConfig): DataFrame = {
-    val withRep = Candidates.withExactRep(clean)
-    val reps = withRep.where(col("image_id") === col("rep"))
-    Candidates.exactPairs(withRep)
+    val repMap = Candidates.exactRepMap(clean)
+    // rep ids are a thin id list — the join back to the (persisted) feature
+    // table broadcasts under the raised threshold, so selecting rep rows
+    // costs no extra shuffle of the wide table
+    val repIds = repMap.where(col("image_id") === col("rep")).select("image_id")
+    val reps = clean.join(repIds, Seq("image_id"))
+    Candidates.exactPairs(repMap)
       .unionByName(Candidates.minhashPairs(reps, cfg))
       .unionByName(Candidates.simhashPairs(clean, cfg))
       .unionByName(Candidates.substringPairs(clean, cfg))

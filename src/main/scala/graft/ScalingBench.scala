@@ -49,14 +49,26 @@ object ScalingBench {
       val rows = rowsS.toLong
       val s = Sessions.build(s"graft-scaling-$cores", cores.toString)
       // warmup: identical plan shape on a 10% slice, result discarded
+      val warmDir = Files.createTempDirectory("graft-scaling-warm").toString
       val warm = s.read.parquet(corpusPath(rows)).limit((rows / 10).toInt)
-      Dedup.run(s, warm, DedupConfig.default).clusters.count()
+      Dedup.runCheckpointed(s, warm, warmDir, DedupConfig.default).clusters.count()
 
+      val timer = if (sys.env.contains("GRAFT_STAGE_TIMER"))
+        Some(graft.tools.StageTimer.attach(s)) else None
+      // the measured job is the PRODUCTION path: the checkpointed, resumable
+      // pipeline (per-stage Iceberg-layout tables + lineage), not the
+      // in-memory variant
+      val outDir = Files.createTempDirectory("graft-scaling-out").toString
       val input = s.read.parquet(corpusPath(rows))
       val t0 = System.nanoTime()
-      val r = Dedup.run(s, input, DedupConfig.default)
+      val r = Dedup.runCheckpointed(s, input, outDir, DedupConfig.default)
       val clean = r.clusters.count()
       val sec = (System.nanoTime() - t0) / 1e9
+      timer.foreach { t =>
+        t.report(20)
+        println(f"[scaling] total stage wall=${t.rows.map(_._3).sum / 1000.0}%.1f s " +
+          f"cpu=${t.rows.map(_._5).sum / 1000.0}%.1f s stages=${t.rows.size}")
+      }
       println(f"[scaling-json] {" +
         f""""cores":$cores,"rows":$rows,"clean":$clean,"sec":$sec%.2f,""" +
         f""""images_per_sec":${rows / sec}%.1f}""")

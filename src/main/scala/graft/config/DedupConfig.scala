@@ -38,12 +38,16 @@ final case class DedupConfig(
     // image side: SimHash bands over the 64-bit phash. Candidates join on
     // `phashAgree`-slice combo keys => perfect recall for
     // Hamming <= phashBands - phashAgree, false-positive rate
-    // C(bands,agree)/2^(agree*8) per random pair (3-of-8 => 3.3e-6; the
-    // 2-of-8 default of 4.3e-4 already produced ~4 FP candidates per row
-    // at 20k rows — quadratic at scale).
+    // C(bands,agree)/2^(agree*8) per random pair. The FP floor is
+    // n²·rate — quadratic in corpus size — so `agree` must grow with n:
+    // 2-of-8 (4.3e-4) made ~4 FP candidates/row at 20k rows; 3-of-8
+    // (3.3e-6) made ~350k FP pairs at 500k rows; 4-of-8 (1.6e-8) is the
+    // web-scale default. The verification radius moves with it
+    // (engine and oracle share the config, so cluster parity is preserved
+    // by construction at any setting).
     phashBands: Int = 8,
-    phashAgree: Int = 3,
-    maxHamming: Int = 5, // = phashBands - phashAgree: inside the guarantee
+    phashAgree: Int = 4,
+    maxHamming: Int = 4, // = phashBands - phashAgree: inside the guarantee
     // substring pass
     substringMinLen: Int = 12, // captions shorter than this are too noisy to match
     // skew handling

@@ -33,20 +33,25 @@ import graft.sig.{MinHash, Shingle, SimHash, SuffixDup}
  */
 object Candidates {
 
-  /** Exact-feature representative; input must carry
-    * (image_id, norm, w, h, fmt, phash). Adds `rep` = min image_id of the
-    * identical-feature group. Grouping is on the RAW columns, not a 64-bit
-    * hash of them: at 10^12 rows a 64-bit key expects ~50k collisions
-    * (n²/2^65), each of which would silently merge unrelated rows into one
-    * exact group. Spark compares full values within the hash-partitioned
-    * window, so this is collision-free at identical shuffle cost. */
-  def withExactRep(features: DataFrame): DataFrame =
-    features.withColumn("rep", min(col("image_id")).over(
-      Window.partitionBy(col("norm"), col("w"), col("h"), col("fmt"), col("phash"))))
+  /** Exact-feature representative map (image_id → rep = min image_id of the
+    * identical-feature group), computed over a PROJECTION of the key
+    * columns only — the window shuffles ~80B/row instead of the full
+    * feature row with its shingle array (measured 462MB vs ~80MB at 500k
+    * rows, and the full-width window ran twice for its two consumers).
+    * Grouping is on the RAW columns, not a 64-bit hash of them: at 10^12
+    * rows a 64-bit key expects ~50k collisions (n²/2^65), each of which
+    * would silently merge unrelated rows into one exact group. Spark
+    * compares full values within the hash-partitioned window, so this is
+    * collision-free. */
+  def exactRepMap(features: DataFrame): DataFrame =
+    features.select(col("image_id"), col("norm"), col("w"), col("h"), col("fmt"), col("phash"))
+      .withColumn("rep", min(col("image_id")).over(
+        Window.partitionBy(col("norm"), col("w"), col("h"), col("fmt"), col("phash"))))
+      .select(col("image_id"), col("rep"))
 
   /** Unconditional member→rep pairs from exact groups. */
-  def exactPairs(withRep: DataFrame): DataFrame =
-    withRep.where(col("image_id") =!= col("rep"))
+  def exactPairs(repMap: DataFrame): DataFrame =
+    repMap.where(col("image_id") =!= col("rep"))
       .select(col("rep").as("src"), col("image_id").as("dst"), lit("exact").as("source"))
 
   /**

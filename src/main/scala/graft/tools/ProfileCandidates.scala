@@ -64,9 +64,10 @@ object ProfileCandidates {
       timer.report()
       spark.stop(); return
     }
-    val withRep = Candidates.withExactRep(clean)
-    time("exact") { Candidates.exactPairs(withRep).count() }
-    val reps = Candidates.withExactRep(clean).where(col("image_id") === col("rep")).cache()
+    val repMap = Candidates.exactRepMap(clean)
+    time("exact") { Candidates.exactPairs(repMap).count() }
+    val reps = clean.join(repMap.where(col("image_id") === col("rep")).select("image_id"),
+      Seq("image_id")).cache()
     time("reps") { reps.count() }
 
     // bisect the minhash path

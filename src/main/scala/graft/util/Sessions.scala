@@ -26,6 +26,10 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.sql.join.preferSortMergeJoin", "false")
+      // candidate-pair tables and rep-id lists are tiny next to the feature
+      // table: let them broadcast so hydration joins never shuffle the wide
+      // side (AQE still re-plans if a "small" side turns out big)
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     extra.foreach { case (k, v) => b.config(k, v) }
