@@ -48,6 +48,8 @@ object SparkEntry {
     "q21_ngram_jaccard" -> (Documents.q21NgramJaccard(_, _)),
     "q22_embed_norms" -> (Documents.q22EmbedNorms(_, _)),
     "q23_embed_topk" -> (Documents.q23EmbedTopk(_, _)),
+    "q24_regex_tokens" -> (Documents.q24RegexTokens(_, _)),
+    "q25_embed_dups" -> (Documents.q25EmbedDups(_, _)),
     // engine-native (rows-only checks; oracle parity lives in the test suite)
     "dedup_minhash_docs" -> (Engine.minhashCandidatesDocs(_, _)),
     "dedup_simhash_docs" -> (Engine.simhashDocs(_, _)),
@@ -85,6 +87,8 @@ object SparkEntry {
     "q20_lang_stopwords" -> Documents.q20Sql,
     "q21_ngram_jaccard" -> Documents.q21Sql,
     "q22_embed_norms" -> Documents.q22Sql,
-    "q23_embed_topk" -> Documents.q23Sql
+    "q23_embed_topk" -> Documents.q23Sql,
+    "q24_regex_tokens" -> Documents.q24Sql,
+    "q25_embed_dups" -> Documents.q25Sql
   )
 }

@@ -151,6 +151,25 @@ object Documents {
       |FROM shared JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
       |WHERE cast(shared AS double) / (sa.n + sb.n - shared) >= 0.5""".stripMargin
 
+  /** BPE-ish regex tokenization (letters / digits / single punctuation as
+    * separate tokens) vs whitespace tokenization, per source. */
+  def q24RegexTokens(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("n_regex",
+        size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")))
+      .withColumn("n_ws", size(toks(col("text"))))
+      .groupBy(col("source"))
+      .agg(sum(col("n_regex")).as("regex_tokens"),
+        sum(col("n_ws")).as("ws_tokens"),
+        count(lit(1)).as("docs"))
+
+  val q24Sql: String =
+    """SELECT source,
+      |  sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS regex_tokens,
+      |  sum(len(list_filter(string_split(text, ' '), x -> len(x) > 0))) AS ws_tokens,
+      |  count(*) AS docs
+      |FROM documents GROUP BY source""".stripMargin
+
   private def vecD(c: Column): Column = transform(c, x => x.cast("double"))
 
   private def dot(a: Column, b: Column): Column =
@@ -188,6 +207,28 @@ object Documents {
       .where(col("rank") <= 5)
       .select(col("qid"), col("nid"), col("rank"))
   }
+
+  /** Embedding-cosine near-duplicate pairs (threshold chosen at the top of
+    * this corpus's cosine distribution — max pair cosine is ~0.51). */
+  def q25EmbedDups(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), vecD(col("embedding")).as("v"))
+      .withColumn("nrm", l2(col("v")))
+    e.as("a").crossJoin(e.as("b"))
+      .where(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .where(col("cos") >= 0.45)
+      .select(col("va"), col("vb"), round(col("cos"), 4).as("cos"))
+  }
+
+  val q25Sql: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e),
+      |s AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+      |        list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2])) / (a.nrm * b.nrm) AS cos
+      |      FROM n a, n b WHERE a.vec_id < b.vec_id)
+      |SELECT va, vb, round(cos, 4) AS cos FROM s WHERE cos >= 0.45""".stripMargin
 
   val q23Sql: String =
     """WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v FROM embeddings),

@@ -65,6 +65,12 @@ class EngineQuerySpec extends AnyFunSuite {
     assert(pairs.count() > 0)
   }
 
+  test("driver contract: entry returns rows; every oracleSql key has a query") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracleSql without queries: $missing")
+  }
+
   test("image features decode consistently") {
     import spark.implicits._
     val feats = Engine.imageFeatures(spark, dir)
