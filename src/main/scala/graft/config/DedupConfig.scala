@@ -48,8 +48,13 @@ final case class DedupConfig(
     phashBands: Int = 8,
     phashAgree: Int = 4,
     maxHamming: Int = 4, // = phashBands - phashAgree: inside the guarantee
-    // substring pass
-    substringMinLen: Int = 12, // captions shorter than this are too noisy to match
+    // substring pass: a caption must be at least this long (normalized
+    // chars) to count as a substring-duplicate of another. 32 is both a
+    // semantic choice (shorter fragments are noise, not duplicates) and the
+    // scale lever: the suffix join keys on the first `substringMinLen`
+    // chars, and short keys over a small vocabulary are shared by hundreds
+    // of captions (12-char keys produced ~17M false join hits at 500k rows)
+    substringMinLen: Int = 32,
     // skew handling
     bucketSizeCap: Int = 64, // LSH buckets larger than this get the salted path
     saltFactor: Int = 8,

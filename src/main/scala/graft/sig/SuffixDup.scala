@@ -32,14 +32,18 @@ import graft.config.DedupConfig
  */
 object SuffixDup {
 
-  /** Wide prefix tier: probes of at least this length join on a 32-char key
-    * (selective even over a small vocabulary); shorter probes fall back to
-    * the `substringMinLen`-char tier. A suffix emits a key per tier its
-    * remaining length covers, so the equi-join on (tier, key) loses no true
-    * match: any suffix that starts with a probe is at least as long as it. */
-  val WideWindow = 32
+  /** Prefix-key tier ladder: a probe joins on the widest tier its length
+    * covers; a suffix emits one key per tier its remaining length covers,
+    * so the equi-join on (tier, key) loses no true match (any suffix that
+    * starts with a probe is at least as long as the probe). Finer tiers
+    * matter: with a small vocabulary, 12-char keys are shared by hundreds
+    * of captions (measured ~17M contains-verifications at 500k rows);
+    * each +8 chars multiplies selectivity by ~the vocabulary branching
+    * factor. Keys are xxhash64 of the prefix — longs shuffle smaller than
+    * prefix strings and the verify step re-checks real containment anyway. */
+  val Tiers: Seq[Int] = Seq(32)
 
-  def prefixKey(c: Column, width: Int): Column = substring(c, 1, width)
+  def prefixKey(c: Column, width: Int): Column = xxhash64(substring(c, 1, width))
 
   /**
    * Candidate (a, b) pairs where normalized caption of `a` is a token-aligned
@@ -49,41 +53,45 @@ object SuffixDup {
    * both orientations possible.
    */
   def substringPairs(captions: DataFrame, cfg: DedupConfig): DataFrame = {
-    val narrow = cfg.substringMinLen
+    require(Tiers.head <= cfg.substringMinLen,
+      "smallest tier must not exceed substringMinLen (or probes shorter " +
+        "than every tier would be silently dropped)")
 
     // probe side: captions long enough to be meaningful substrings; each
-    // probe joins on the widest tier its length covers (narrow keys over a
-    // small vocabulary are shared by thousands of rows — measured ~5M join
-    // hits at 100k rows, 200 CPU-seconds of `contains` verification; the
-    // 32-char tier collapses that to approximately the true matches)
+    // probe joins on the widest tier its length covers
+    val probeTier = Tiers.reverse.tail.foldLeft(
+      when(length(col("norm")) >= Tiers.last, lit(Tiers.last))) {
+      (acc, t) => acc.when(length(col("norm")) >= t, lit(t))
+    }
     val probe = captions
-      .where(length(col("norm")) >= narrow)
-      .select(col("id").as("a_id"), col("norm").as("a_norm"),
-        when(length(col("norm")) >= WideWindow, lit(WideWindow)).otherwise(lit(narrow)).as("tier"),
-        when(length(col("norm")) >= WideWindow, prefixKey(col("norm"), WideWindow))
-          .otherwise(prefixKey(col("norm"), narrow)).as("k"))
+      .where(length(col("norm")) >= cfg.substringMinLen)
+      .withColumn("tier", probeTier)
+      .select(col("id").as("a_id"), col("norm").as("a_norm"), col("tier"),
+        xxhash64(col("norm").substr(lit(1), col("tier"))).as("k"))
 
-    // build side: the first tier-width chars of every token-aligned suffix,
-    // from character offsets — NOT by materializing suffix strings (that is
+    // build side: a key per (token-aligned suffix, covered tier), from
+    // character offsets — NOT materialized suffix strings (those are
     // O(len²) bytes per caption; offsets cut this stage from 54s to single
-    // digits at 100k rows). A suffix emits one key per tier it covers.
+    // digits at 100k rows)
     val tk = split(col("norm"), " ")
     val starts = slice(
       aggregate(tk, array(lit(1)),
         (acc, t) => concat(acc, array(element_at(acc, -1) + length(t) + lit(1)))),
       lit(1), size(tk))
+    val suffixKeys = flatten(transform(
+      filter(starts, p => length(col("norm")) - p + 1 >= Tiers.head),
+      p => {
+        val rem = length(col("norm")) - p + 1
+        val entries = Tiers.map { t =>
+          when(rem >= t,
+            struct(lit(t).as("tier"), xxhash64(col("norm").substr(p, lit(t))).as("k")))
+            .otherwise(lit(null))
+        }
+        filter(array(entries: _*), e => e.isNotNull)
+      }))
     val suffixes = captions
       .select(col("id").as("b_id"), col("norm").as("b_norm"),
-        explode(flatten(transform(
-          filter(starts, p => length(col("norm")) - p + 1 >= narrow),
-          p => {
-            val rem = length(col("norm")) - p + 1
-            val narrowKey = struct(lit(narrow).as("tier"),
-              col("norm").substr(p, lit(narrow)).as("k"))
-            val wideKey = struct(lit(WideWindow).as("tier"),
-              col("norm").substr(p, lit(WideWindow)).as("k"))
-            when(rem >= WideWindow, array(narrowKey, wideKey)).otherwise(array(narrowKey))
-          }))).as("tk"))
+        explode(suffixKeys).as("tk"))
       .select(col("b_id"), col("b_norm"), col("tk.tier").as("tier"), col("tk.k").as("k"))
       .dropDuplicates("b_id", "tier", "k")
 
