@@ -30,6 +30,9 @@ object Sessions {
       // table: let them broadcast so hydration joins never shuffle the wide
       // side (AQE still re-plans if a "small" side turns out big)
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      // checkpointed stages are read back for row counts; push count()
+      // down to parquet footers instead of scanning data
+      .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     extra.foreach { case (k, v) => b.config(k, v) }
