@@ -142,12 +142,14 @@ object Dedup {
       decisions(clean, edges, clusters, cfg))
     val recur = Layout.runStage(spark, root, "recurring")(recurring(clusters, cfg))
 
+    // one aggregation job for all decision metrics (decision counts come
+    // from a single groupBy pass, candidate/cluster rows from the stage
+    // manifests' footer-only counts)
+    val decisionCounts = decis.groupBy("decision").count().collect()
+      .map(r => (s"decisions", r.getString(0), r.getLong(1).toDouble)).toSeq
     Layout.appendMetrics(spark, root, Seq(
       ("candidates", "pairs", cands.count().toDouble),
-      ("clusters", "rows", clusters.count().toDouble),
-      ("decisions", "blocked", decis.where(col("decision") === "blocked").count().toDouble),
-      ("decisions", "duplicate", decis.where(col("decision") === "duplicate").count().toDouble),
-      ("decisions", "new", decis.where(col("decision") === "new").count().toDouble)))
+      ("clusters", "rows", clusters.count().toDouble)) ++ decisionCounts)
 
     DedupResult(clean, lowQ, cands, verified, clusters, decis, recur)
   }

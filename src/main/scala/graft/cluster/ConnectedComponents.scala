@@ -37,20 +37,29 @@ object ConnectedComponents {
       .withColumn("label", col("id"))
       .localCheckpoint()
 
+    // convergence via label-hash sum: labels only ever DECREASE per vertex
+    // (min propagation), so the multiset of labels is unchanged iff no
+    // vertex changed — comparing one aggregated hash sum per round replaces
+    // a join + count action (collision-cancellation odds ~2^-64)
+    // decimal(38,0) so ANSI mode can't overflow the sum of 2^63-scale hashes
+    def hashSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      df.select(coalesce(sum(xxhash64(col("label")).cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("h"))
+        .collect()(0).getDecimal(0)
+
     var iter = 0
     var converged = false
+    var prevSum = hashSum(labels)
     while (iter < maxIter && !converged) {
       val msgs = sym.join(labels, sym("a") === labels("id"))
         .select(col("b").as("id"), col("label"))
       val next = labels.select("id", "label").union(msgs)
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint()
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .where(col("n.label") =!= col("o.label"))
-        .limit(1).count()
+      val nextSum = hashSum(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       iter += 1
     }
 
