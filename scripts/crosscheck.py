@@ -37,6 +37,22 @@ for name, sql in sorted(oracle.items()):
         if gcols != wcols:
             fails.append((name, f"columns {gcols} vs {wcols}"))
             continue
+        # TYPE-strict: the driver hashes typed values, so e.g. Spark's
+        # sum(int)=BIGINT vs DuckDB's sum(int)=HUGEINT mismatches even when
+        # the numbers agree. Round 1 passed 25/25 here but 22/25 on the
+        # driver because values were string-normalized; compare dtypes too.
+        # Plain integer WIDTHS are interchangeable (round-1 driver evidence:
+        # INTEGER-vs-BIGINT queries q05/q09/q19/q22/q23 were hash-green,
+        # only the HUGEINT ones failed), so they normalize to one class.
+        def ty(t):
+            t = str(t)
+            return "INTCLASS" if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT") else t
+        gtypes = {c: ty(t) for c, t in zip(got.columns, got.types)}
+        wtypes = {c: ty(t) for c, t in zip(want.columns, want.types)}
+        tdiff = {c: (gtypes[c], wtypes[c]) for c in gcols if gtypes[c] != wtypes[c]}
+        if tdiff:
+            fails.append((name, f"types differ (spark vs oracle): {tdiff}"))
+            continue
         grows = sorted(tuple(norm(v) for v in r) for r in
                        got.select(", ".join(f'"{c}"' for c in gcols)).fetchall())
         wrows = sorted(tuple(norm(v) for v in r) for r in

@@ -35,12 +35,16 @@ object Documents {
       .withColumn("n_tok", size(toks(col("text"))))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("docs"),
-        sum(col("n_tok")).as("total_tokens"),
+        // sums of ints are cast to long EXPLICITLY on both sides: DuckDB's
+        // sum(int) returns HUGEINT and the driver hashes typed values, so a
+        // raw sum hash-mismatches even when numbers agree (round-1 q17/q20/
+        // q24 failure; see Relational.scala hash-stability rules)
+        sum(col("n_tok")).cast("long").as("total_tokens"),
         round(sum(col("n_tok")).cast("double") / count(lit(1)), 3).as("avg_tokens"))
 
   val q17Sql: String =
     """SELECT source, count(*) AS docs,
-      |  sum(n_tok) AS total_tokens,
+      |  cast(sum(n_tok) AS bigint) AS total_tokens,
       |  round(cast(sum(n_tok) AS double) / count(*), 3) AS avg_tokens
       |FROM (SELECT source, len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS n_tok
       |      FROM documents) GROUP BY source""".stripMargin
@@ -88,12 +92,12 @@ object Documents {
         size(filter(toks(col("text")), x => x.isin(stop: _*))))
       .withColumn("predicted", when(col("hits") >= 3, "en_like").otherwise("other"))
       .groupBy(col("lang"), col("predicted"))
-      .agg(count(lit(1)).as("docs"), sum(col("hits")).as("stopword_hits"))
+      .agg(count(lit(1)).as("docs"), sum(col("hits")).cast("long").as("stopword_hits"))
   }
 
   val q20Sql: String =
     """SELECT lang, CASE WHEN hits >= 3 THEN 'en_like' ELSE 'other' END AS predicted,
-      |  count(*) AS docs, sum(hits) AS stopword_hits
+      |  count(*) AS docs, cast(sum(hits) AS bigint) AS stopword_hits
       |FROM (SELECT lang, len(list_filter(string_split(text, ' '),
       |        x -> list_contains(['the','a','of','to','in','is'], x))) AS hits
       |      FROM documents)
@@ -159,14 +163,14 @@ object Documents {
         size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")))
       .withColumn("n_ws", size(toks(col("text"))))
       .groupBy(col("source"))
-      .agg(sum(col("n_regex")).as("regex_tokens"),
-        sum(col("n_ws")).as("ws_tokens"),
+      .agg(sum(col("n_regex")).cast("long").as("regex_tokens"),
+        sum(col("n_ws")).cast("long").as("ws_tokens"),
         count(lit(1)).as("docs"))
 
   val q24Sql: String =
     """SELECT source,
-      |  sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS regex_tokens,
-      |  sum(len(list_filter(string_split(text, ' '), x -> len(x) > 0))) AS ws_tokens,
+      |  cast(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS bigint) AS regex_tokens,
+      |  cast(sum(len(list_filter(string_split(text, ' '), x -> len(x) > 0))) AS bigint) AS ws_tokens,
       |  count(*) AS docs
       |FROM documents GROUP BY source""".stripMargin
 
