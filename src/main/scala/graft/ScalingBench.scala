@@ -11,10 +11,13 @@ import graft.util.Sessions
  * spark-submit at N and 4N executors with throughput scaling efficiency
  * >= 0.8").
  *
- * Sandbox protocol (BASELINE.md): no real cluster exists here, so N and 4N
- * executors are modeled as local[8] and local[32] — same input, same JVM
- * memory, `spark.sql.shuffle.partitions` scaled with cores; efficiency
- * = (T_8 / T_32) / 4.
+ * Sandbox protocol (BENCH/BASELINE.md): no real cluster exists here, so N
+ * and 4N executors are modeled as two local[k] core counts — the shipped
+ * protocol is N=2 vs 4N=8 cores (scripts/scaling.sh), chosen because
+ * tools/CpuScaleProbe measured this box's vCPUs anti-scaling beyond ~8
+ * threads. Same input, same JVM memory, `spark.sql.shuffle.partitions`
+ * scaled with cores; efficiency = (T_N / T_4N) / 4. The core counts are
+ * parameters of `measure`, not hardcoded here.
  *
  * Measurement hygiene (learned the hard way — a single-JVM back-to-back
  * comparison produced local[8] "beating" local[32] 2x purely through JIT

@@ -19,6 +19,21 @@ package graft.config
  * and P(0.85) ≈ 0.99999988, i.e. recall well above the 0.99 gate at the
  * flag threshold, while pairs at s=0.3 collide with P ≈ 0.23 (cheaply
  * rejected by exact-Jaccard verification).
+ *
+ * RECALL GUARANTEE IS CONDITIONAL ON content Jaccard >= flagThreshold.
+ * The edge rule passes at HYBRID >= 0.70, and with metaSim = 1.0 that
+ * admits content Jaccard down to (flag - metadataWeight)/contentWeight
+ * ≈ 0.571, where P(candidate) is only ≈ 0.97. Closing that gap inside the
+ * MinHash pass alone is not economical: pushing P(0.571) >= 0.99 needs
+ * r <= 3, and at r=3 (b=42) a random pair at s=0.3 becomes a candidate
+ * with P ≈ 0.68 — the verification stage degenerates toward all-pairs at
+ * web scale. Meta-boosted borderline pairs are instead largely covered by
+ * the OTHER generators (exact, substring, phash-SimHash: identical
+ * metadata usually accompanies same-image or containment duplicates), and
+ * the residual miss probability applies only to the band
+ * s ∈ [0.571, 0.70) × metaSim ≈ 1.0. PipelineSpec's borderline-corpus test
+ * pins this behavior: every pair with content_sim >= 0.70 must be found;
+ * sub-0.70-content hybrid edges are reported, not guaranteed.
  */
 final case class DedupConfig(
     // similarity thresholds (reference parity)

@@ -50,10 +50,12 @@ object PairVerifier {
       col("a_w"), col("a_h"), col("b_w"), col("b_h"), cfg)
     val hamming = SimHash.hammingCol(col("a_phash"), col("b_phash"))
 
+    // token-aligned at BOTH ends — same rule as SuffixDup.isTokenAlignedSubstring
     def contained(x: String, y: String) =
       length(col(s"${x}_norm")) >= cfg.substringMinLen &&
         col(s"${x}_norm") =!= col(s"${y}_norm") &&
-        concat(lit(" "), col(s"${y}_norm")).contains(concat(lit(" "), col(s"${x}_norm")))
+        concat(lit(" "), col(s"${y}_norm"), lit(" "))
+          .contains(concat(lit(" "), col(s"${x}_norm"), lit(" ")))
 
     val (matching, differing, confidence) = Meta.matchDetailCols(
       col("a_w"), col("a_h"), col("a_fmt"), col("b_w"), col("b_h"), col("b_fmt"))

@@ -75,21 +75,30 @@ object Quality {
     filter(arr, c => c.isNotNull)
   }
 
+  /** Code points, not UTF-16 units — Spark's `length()` counts code points,
+    * so the oracle must too or astral characters break bit-parity. */
+  private def cpLen(s: String): Int = s.codePointCount(0, s.length)
+
   def issues(caption: String, cfg: DedupConfig): Seq[String] = {
     val cap = Option(caption).getOrElse("")
     val norm = Shingle.normalize(cap)
     val toks = Shingle.tokens(cap)
     val uniqRatio = if (toks.isEmpty) 1.0 else toks.distinct.length.toDouble / toks.length
+    // SAME Java regex as the Column side (regexp_replace compiles the same
+    // pattern), and code-point lengths on both sides: Character.isWhitespace
+    // disagrees with regex \s on e.g. U+2028, and String.length disagrees
+    // with Spark length() on astral chars — either quietly broke parity on
+    // non-ASCII captions before.
     val specialRatio =
       if (cap.isEmpty) 0.0
-      else cap.count(ch => !Character.isLetterOrDigit(ch) && !Character.isWhitespace(ch)).toDouble / cap.length
+      else cpLen(cap.replaceAll("[\\p{L}\\p{N}\\s]", "")).toDouble / cpLen(cap)
     val missing = cap.trim.isEmpty
     Seq(
       "missing_caption" -> missing,
-      "short_caption" -> (!missing && norm.length < cfg.minCaptionLen),
+      "short_caption" -> (!missing && cpLen(norm) < cfg.minCaptionLen),
       "generic_caption" -> Generic.contains(norm),
       "low_uniqueness" -> (toks.length >= 5 && uniqRatio < cfg.minUniqueTokenRatio),
-      "all_caps" -> (cap.length > 20 && cap == cap.toUpperCase && cap != cap.toLowerCase),
+      "all_caps" -> (cpLen(cap) > 20 && cap == cap.toUpperCase && cap != cap.toLowerCase),
       "special_chars" -> (cap.nonEmpty && specialRatio > cfg.maxSpecialCharRatio)
     ).collect { case (n, true) => n }
   }

@@ -98,17 +98,23 @@ object SuffixDup {
     probe
       .join(suffixes, Seq("tier", "k"))
       .where(col("a_id") =!= col("b_id"))
-      // containment starting at a token boundary, verified on full strings
-      // (identical rule to `isTokenAlignedSubstring` below)
-      .where(concat(lit(" "), col("b_norm")).contains(concat(lit(" "), col("a_norm"))))
+      // containment aligned to token boundaries at BOTH ends, verified on
+      // full strings (identical rule to `isTokenAlignedSubstring` below).
+      // Padding both sides with a space enforces the end boundary too —
+      // "foo bar" must NOT count as contained in "foo barbaz". Recall is
+      // unaffected: the suffix keys are prefixes of token-aligned suffixes,
+      // and tightening only the verify step cannot lose a true match.
+      .where(concat(lit(" "), col("b_norm"), lit(" "))
+        .contains(concat(lit(" "), col("a_norm"), lit(" "))))
       .where(col("a_norm") =!= col("b_norm"))
       .select(col("a_id").as("src"), col("b_id").as("dst"))
       .distinct()
   }
 
   /** Oracle-side containment check — same rule as the Spark verify above:
-    * A occurs in B starting at a token boundary, A != B, A long enough. */
+    * A occurs in B aligned to token boundaries at both ends, A != B,
+    * A long enough. */
   def isTokenAlignedSubstring(aNorm: String, bNorm: String, cfg: DedupConfig): Boolean =
     aNorm.length >= cfg.substringMinLen && aNorm != bNorm &&
-      (" " + bNorm).contains(" " + aNorm)
+      (" " + bNorm + " ").contains(" " + aNorm + " ")
 }

@@ -19,8 +19,8 @@ class EngineQuerySpec extends AnyFunSuite {
     import spark.implicits._
     val exact = Documents.q21NgramJaccard(spark, dir)
       .select("da", "db").as[(Long, Long)].collect().toSet
-    // q21 shingles are word 3-grams; the minhash query sketches unigram
-    // token sets — high 3-gram Jaccard implies high token Jaccard.
+    // the minhash query sketches the SAME word 3-gram sets as q21
+    // (Documents.shingles3), so the s-curve applies to q21's Jaccard directly.
     val approx = Engine.minhashCandidatesDocs(spark, dir)
       .as[(Long, Long)].collect().toSet
     val missed = exact -- approx

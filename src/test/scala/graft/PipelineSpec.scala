@@ -112,6 +112,64 @@ class PipelineSpec extends AnyFunSuite {
     assert(rec.exists(_._2 >= N / Synth.Block), "hot cluster must be tagged Recurring")
   }
 
+  test("meta-boosted borderline pairs: conditional LSH recall guarantee") {
+    // Pairs engineered so ONLY the MinHash generator can find them:
+    // identical metadata (metaSim = 1.0) boosts hybrid over the 0.70 edge
+    // even when content Jaccard sits in [0.571, 0.70) — the band where the
+    // LSH s-curve gives P(candidate) ≈ 0.97-0.99, BELOW the 0.99 gate
+    // (DedupConfig scaladoc: guarantee is conditional on content >= 0.70).
+    // Distinct far-apart phashes and non-contained captions disable the
+    // simhash/substring/exact backstops on purpose.
+    import spark.implicits._
+    import graft.sig.Shingle
+    val M = 40
+    val rows = (0 until M).flatMap { i =>
+      val anchor = Synth.makeCaption(7777L, i.toLong, 30)
+      val variant = anchor.clone()
+      // every 3rd pair: ONE replaced token -> Jaccard ≈ 0.8 (guaranteed
+      // band, content >= 0.70); otherwise TWO spaced replacements ->
+      // Jaccard ≈ 0.65 (borderline band, only hybrid clears the edge)
+      variant(7) = "zzqa" + i
+      if (i % 3 != 0) variant(19) = "zzqb" + i
+      val pa = graft.util.Hashing.splitmix64(0xABCD0000L + i)
+      val pb = graft.util.Hashing.splitmix64(0xDCBA0000L + i)
+      Seq(
+        (f"bl-$i%04d-a", Array.emptyByteArray, 64, 64, "png", anchor.mkString(" "), pa),
+        (f"bl-$i%04d-b", Array.emptyByteArray, 64, 64, "png", variant.mkString(" "), pb))
+    }
+    val df = rows.toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+    val edges = Dedup.run(spark, df, cfg).verified
+      .where(col("is_edge"))
+      .select("src", "dst", "content_sim").as[(String, String, Double)]
+      .collect().map(r => ((r._1, r._2), r._3)).toMap
+
+    // oracle classification of each planted pair by exact content Jaccard
+    val byBand = (0 until M).map { i =>
+      val (a, b) = (rows(2 * i), rows(2 * i + 1))
+      val jac = Shingle.jaccard(
+        Shingle.shingleHashes(a._6, cfg.shingleSize),
+        Shingle.shingleHashes(b._6, cfg.shingleSize))
+      val hybrid = 0.7 * jac + 0.3 // metaSim = 1.0, same orientation
+      ((a._1, b._1), jac, hybrid)
+    }
+    val edgePairs = byBand.filter(_._3 >= cfg.flagThreshold)
+    val guaranteed = edgePairs.filter(_._2 >= cfg.flagThreshold)
+    val borderline = edgePairs.filter(_._2 < cfg.flagThreshold)
+    assert(guaranteed.nonEmpty && borderline.nonEmpty,
+      "test corpus must contain both guaranteed-band and borderline-band edges")
+
+    val missedGuaranteed = guaranteed.filterNot(p => edges.contains(p._1))
+    assert(missedGuaranteed.isEmpty,
+      s"pairs with content >= 0.70 are inside the LSH guarantee: $missedGuaranteed")
+    val found = borderline.count(p => edges.contains(p._1))
+    val recall = found.toDouble / borderline.size
+    info(f"guaranteed=${guaranteed.size} borderline=${borderline.size} " +
+      f"found=$found recall=$recall%.3f " +
+      f"(jaccard ${byBand.map(_._2).min}%.3f..${byBand.map(_._2).max}%.3f)")
+    // deterministic given fixed hashing; expected ≈ 0.99 per the s-curve
+    assert(recall >= 0.9, s"borderline recall $recall collapsed — LSH config regressed")
+  }
+
   test("cluster labels invariant under input partitioning") {
     import spark.implicits._
     val repartitioned = Dedup.run(spark, corpus.repartition(13), cfg)

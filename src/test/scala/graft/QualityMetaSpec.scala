@@ -22,6 +22,27 @@ class QualityMetaSpec extends AnyFunSuite {
     ("ok fine", Seq("short_caption"))
   )
 
+  // non-ASCII: U+2028 line separator (regex \s does NOT match it — both
+  // sides must agree it is "special"), astral plane emoji (counts as ONE
+  // code point on both sides), accented letters (\p{L} matches)
+  val nonAsciiCases: Seq[String] = Seq(
+    "une légende parfaitement normale avec accents éèê",
+    "broken line separated caption with several seps",
+    "caption with astral chars 😀😀😀😀😀😀😀😀 padding words here",
+    "😀😀😀 ok",
+    "münchen straße café über alles und so weiter"
+  )
+
+  test("quality issues: column == scala on non-ASCII captions") {
+    import spark.implicits._
+    val got = nonAsciiCases.toDF("caption")
+      .select(Quality.issuesCol(col("caption"), cfg)).as[Seq[String]].collect()
+    nonAsciiCases.zip(got).foreach { case (cap, g) =>
+      assert(g.toSet == Quality.issues(cap, cfg).toSet,
+        s"caption: '$cap' column=${g.toSet} scala=${Quality.issues(cap, cfg).toSet}")
+    }
+  }
+
   test("quality issues: scala side") {
     cases.foreach { case (cap, want) =>
       assert(Quality.issues(cap, cfg).toSet == want.toSet, s"caption: '$cap'")
