@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Documents, Engine, Relational}
+import graft.queries.{DedupTwins, Documents, Engine, Relational}
 
 /**
  * Driver contract (see SURVEY.md §5.2 item 6).
@@ -50,6 +50,18 @@ object SparkEntry {
     "q23_embed_topk" -> (Documents.q23EmbedTopk(_, _)),
     "q24_regex_tokens" -> (Documents.q24RegexTokens(_, _)),
     "q25_embed_dups" -> (Documents.q25EmbedDups(_, _)),
+    // dedup-core twins over `documents` (oracle-checked; same code paths as
+    // the pipeline: SuffixDup, SimHash64 + banding + salted join, CC,
+    // decision rule, monitoring metrics)
+    "q26_substring_docs" -> (DedupTwins.q26SubstringDocs(_, _)),
+    "q27_simhash_dups_docs" -> (DedupTwins.q27SimhashDocs(_, _)),
+    "q28_cc_clusters_docs" -> (DedupTwins.q28CcClustersDocs(_, _)),
+    "q29_decisions_docs" -> (DedupTwins.q29DecisionsDocs(_, _)),
+    "q30_dedup_metrics_docs" -> (DedupTwins.q30DedupMetricsDocs(_, _)),
+    "q31_score_histogram_docs" -> (DedupTwins.q31ScoreHistogramDocs(_, _)),
+    "q32_top_parents_docs" -> (DedupTwins.q32TopParentsDocs(_, _)),
+    "q33_percentiles" -> (DedupTwins.q33Percentiles(_, _)),
+    "q34_prefix_dedup_docs" -> (DedupTwins.q34PrefixDedupDocs(_, _)),
     // engine-native (rows-only checks; oracle parity lives in the test suite)
     "dedup_minhash_docs" -> (Engine.minhashCandidatesDocs(_, _)),
     "dedup_simhash_docs" -> (Engine.simhashDocs(_, _)),
@@ -89,6 +101,15 @@ object SparkEntry {
     "q22_embed_norms" -> Documents.q22Sql,
     "q23_embed_topk" -> Documents.q23Sql,
     "q24_regex_tokens" -> Documents.q24Sql,
-    "q25_embed_dups" -> Documents.q25Sql
+    "q25_embed_dups" -> Documents.q25Sql,
+    "q26_substring_docs" -> DedupTwins.q26Sql,
+    "q27_simhash_dups_docs" -> DedupTwins.q27Sql,
+    "q28_cc_clusters_docs" -> DedupTwins.q28Sql,
+    "q29_decisions_docs" -> DedupTwins.q29Sql,
+    "q30_dedup_metrics_docs" -> DedupTwins.q30Sql,
+    "q31_score_histogram_docs" -> DedupTwins.q31Sql,
+    "q32_top_parents_docs" -> DedupTwins.q32Sql,
+    "q33_percentiles" -> DedupTwins.q33Sql,
+    "q34_prefix_dedup_docs" -> DedupTwins.q34Sql
   )
 }

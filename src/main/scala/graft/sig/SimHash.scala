@@ -60,8 +60,9 @@ object SimHash {
     * no hash collisions. Larger `agree` trades guarantee radius for
     * selectivity — at web scale the FP floor is n²·rate, so rate must
     * shrink as n grows. */
-  def comboKeysCol(phash: Column, bands: Int, agree: Int = 2): Column = {
-    val width = 64 / bands
+  def comboKeysCol(phash: Column, bands: Int, agree: Int = 2,
+      totalBits: Int = 64): Column = {
+    val width = totalBits / bands
     val slices = (0 until bands).map { b =>
       shiftright(phash, b * width).bitwiseAND(lit((1L << width) - 1L))
     }
