@@ -123,14 +123,20 @@ object DedupTwins {
 
   // ---- q28: connected components over the exact-Jaccard edges --------------
 
-  /** Shared SQL snippet: q21's pair set (da < db, jac >= 0.5). */
+  /** Shared SQL snippet: q21's pair set (da < db, jac >= 0.5), including
+    * its df <= 256 boilerplate-shingle cap (Documents.ShingleDfCap). */
   private val pairsCte: String =
     """tk AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t FROM documents
       |),
-      |shg AS (
+      |shg0 AS (
       |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
       |  FROM tk, unnest(range(1, greatest(len(t)-2, 1) + 1)) u(i)
+      |),
+      |shg AS (
+      |  SELECT doc_id, s FROM (
+      |    SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM shg0)
+      |  WHERE df <= 256
       |),
       |sizes AS (SELECT doc_id, count(*) AS n FROM shg GROUP BY 1),
       |shared AS (

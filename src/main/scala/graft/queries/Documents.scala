@@ -113,20 +113,40 @@ object Documents {
         i => concat_ws(" ", slice(tk, i, lit(3)))))
   }
 
+  /** Shingles with document frequency above this are dropped from the
+    * Jaccard computation ON BOTH SIDES (Spark and the DuckDB oracle — the
+    * semantics of the operator, not a lossy shortcut of one engine). A
+    * shingle shared by m documents contributes O(m²) candidate rows, so an
+    * uncapped inverted-index join is quadratic in the hottest shingle's df —
+    * one boilerplate phrase at web scale would melt a reducer. Shingles with
+    * df > 256 are boilerplate by definition and contribute almost nothing to
+    * Jaccard >= 0.5 pairs (driver data: max df is 25 at sf0.1, so the cap
+    * never binds there). */
+  val ShingleDfCap = 256
+
   /** Exact n-gram Jaccard near-duplicate pairs (threshold 0.5) via an
     * inverted-index shingle join — the ORACLE-CHECKABLE dedup query
-    * (MinHash/LSH is its approximate, scale-path twin in Engine.scala). */
+    * (MinHash/LSH is its approximate, scale-path twin in Engine.scala).
+    * The per-shingle pair expansion runs through the salted grid join
+    * (Candidates.saltedSelfJoin emits each co-bucketed pair exactly once
+    * per shingle, so counting occurrences per pair = shared-shingle count),
+    * keyed on xxhash64 of the shingle — no reducer ever sees more than
+    * ~2·cap rows regardless of skew. */
   def q21NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     // repartition: the table is one parquet split; shingling must not run
-    // as a single task
+    // as a single task. shingles3 is array_distinct, so explode already
+    // yields distinct (doc_id, s) rows — no distinct shuffle needed.
     val sh = t(spark, dir, "documents")
       .repartition(col("doc_id"))
       .select(col("doc_id"), explode(shingles3(col("text"))).as("s"))
-      .distinct()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val shared = sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+    val keep = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .where(col("df") <= ShingleDfCap)
+    val sizes = keep.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val banded = keep.select(col("doc_id").as("id"),
+      lit(0).as("band"), xxhash64(col("s")).as("bkey"))
+    val shared = graft.pairs.Candidates.saltedSelfJoin(banded, 64)
+      .groupBy(col("src").as("da"), col("dst").as("db"))
       .agg(count(lit(1)).as("shared"))
     shared
       .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
@@ -141,9 +161,14 @@ object Documents {
     """WITH tk AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t FROM documents
       |),
-      |sh AS (
+      |sh0 AS (
       |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
       |  FROM tk, unnest(range(1, greatest(len(t)-2, 1) + 1)) u(i)
+      |),
+      |sh AS (
+      |  SELECT doc_id, s FROM (
+      |    SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh0)
+      |  WHERE df <= 256
       |),
       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
       |shared AS (
@@ -213,7 +238,12 @@ object Documents {
   }
 
   /** Embedding-cosine near-duplicate pairs (threshold chosen at the top of
-    * this corpus's cosine distribution — max pair cosine is ~0.51). */
+    * this corpus's cosine distribution — max pair cosine is ~0.51).
+    *
+    * EXACT O(n²) TWIN — driver/oracle scale only. The full crossJoin is the
+    * point: it is the ground truth that Engine.annLshTopk (the LSH-bucketed
+    * scale path) is measured against (EngineQuerySpec recall@5). Do not run
+    * this operator at corpus scale. */
   def q25EmbedDups(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
       .select(col("vec_id"), vecD(col("embedding")).as("v"))

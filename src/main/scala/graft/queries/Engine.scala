@@ -96,35 +96,40 @@ object Engine {
    * ANN over embeddings via random-hyperplane LSH (sign-of-dot sketch) with
    * OR-amplification: L independent hash tables of `planes` bits each;
    * candidates = union of same-bucket pairs across tables, then exact cosine
-   * top-k within the candidate set. The scale path of the brute-force q23:
-   * per-table candidate sets shrink ~2^planes× while the probability that a
-   * true near neighbor shares a bucket in AT LEAST ONE table is
+   * top-k within the candidate set. The scale path of the brute-force
+   * q23/q25 (their O(n²) crossJoins are the exact twins this is measured
+   * against — EngineQuerySpec recall@5). The probability that a true near
+   * neighbor shares a bucket in AT LEAST ONE table is
    * 1-(1-(1-θ/π)^planes)^L (Goemans–Williamson per-plane match rate) —
-   * e.g. θ=30°: planes=4, L=6 → 0.97.
+   * e.g. θ=30°: planes=4, L=8 → 0.99.
+   *
+   * `planes` is a BUILD parameter, like LSH bands: size it offline from
+   * catalog row statistics (~log2(n/targetBucket)), never from an action
+   * inside the operator — a count() here would add a driver-side job to
+   * every composition of the plan. Hot buckets cannot melt a reducer
+   * regardless of the setting: the bucket self-join runs through the salted
+   * grid join (bucketSizeCap), the same machinery as the MinHash band join.
    */
-  def annLshTopk(spark: SparkSession, dir: String): DataFrame = {
+  def annLshTopk(spark: SparkSession, dir: String,
+      planes: Int = 4, tables: Int = 8): DataFrame = {
     val dim = 64
-    val tables = 6
+    val cfg = DedupConfig.default
     val e = t(spark, dir, "embeddings")
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
-    // bucket count tracks corpus size: target ~32 vectors per bucket so the
-    // per-table in-bucket scan is ~n·32 instead of n²
-    val n = e.count()
-    val planes = math.max(3, (math.log(math.max(n, 1L).toDouble / 32.0) / math.log(2.0)).floor.toInt)
     val bits = (tbl: Int) => (0 until planes).map { p =>
       val d = aggregate(zip_with(col("v"), hyperplane(tbl * 64 + p, dim, 77L), (x, w) => x * w),
         lit(0.0), (a, x) => a + x)
       when(d > 0, 1L << p).otherwise(0L)
     }.reduce(_ + _)
-    val bucketed = e.select(col("vec_id"), col("v"), col("nrm"),
-      posexplode(array((0 until tables).map(bits): _*)).as(Seq("tbl", "bucket")))
-    val cand = bucketed.as("r").join(
-        bucketed.select(col("vec_id").as("qid"), col("tbl"), col("bucket")).as("l"),
-        Seq("tbl", "bucket"))
-      .where(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("nid"))
-      .distinct()
+    // band the ID LIST only — vectors rejoin after pairing, so the salted
+    // shuffle moves (id, table, bucket) triples, not 64-double arrays
+    val banded = e.select(col("vec_id").as("id"),
+      posexplode(array((0 until tables).map(bits): _*)).as(Seq("band", "bkey")))
+    val pairs = Candidates.saltedSelfJoin(banded, cfg.bucketSizeCap).distinct()
+    val cand = pairs.select(col("src").as("qid"), col("dst").as("nid"))
+      .union(pairs.select(col("dst").as("qid"), col("src").as("nid")))
     val scored = cand
       .join(e.select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn")), "qid")
       .join(e.select(col("vec_id").as("nid"), col("v").as("nv"), col("nrm").as("nn")), "nid")

@@ -39,17 +39,25 @@ class EngineQuerySpec extends AnyFunSuite {
     assert(sim.nonEmpty)
   }
 
-  test("ann lsh topk: top-1 agreement with brute force on shared queries") {
+  test("ann lsh topk: recall@5 vs the exact crossJoin twin") {
     import spark.implicits._
     val bf = Documents.q23EmbedTopk(spark, dir)
-      .where("rank = 1").select("qid", "nid").as[(Long, Long)].collect().toMap
+      .select("qid", "nid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val ann = Engine.annLshTopk(spark, dir)
-      .where("rank = 1 and qid < 20").select("qid", "nid").as[(Long, Long)].collect().toMap
-    val shared = bf.keySet intersect ann.keySet
-    val agree = shared.count(q => bf(q) == ann(q))
-    info(s"bf queries=${bf.size} ann answered=${shared.size} top1 agree=$agree")
-    // LSH buckets may not contain the true NN for every query; demand a majority
-    assert(shared.nonEmpty && agree * 2 >= shared.size)
+      .where("qid < 20").select("qid", "nid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = bf.map { case (q, want) => (ann.getOrElse(q, Set.empty) & want).size }.sum
+    val total = bf.values.map(_.size).sum
+    val recall = hits.toDouble / total
+    // top-1 must also usually survive (the strongest neighbor shares a
+    // bucket with the highest probability)
+    val top1 = Documents.q23EmbedTopk(spark, dir).where("rank = 1")
+      .select("qid", "nid").as[(Long, Long)].collect().toMap
+    val top1Hit = top1.count { case (q, n) => ann.getOrElse(q, Set.empty).contains(n) }
+    info(s"recall@5=$recall ($hits/$total), exact-top1 retrieved=$top1Hit/${top1.size}")
+    assert(recall >= 0.5, s"ann recall@5 $recall collapsed vs exact twin")
+    assert(top1Hit * 2 >= top1.size, "ann should retrieve the exact top-1 for a majority of queries")
   }
 
   test("exact dedup over corpus finds the planted identical groups") {
