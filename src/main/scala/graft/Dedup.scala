@@ -19,8 +19,10 @@ final case class DedupResult(
     candidates: DataFrame, // (src, dst, source) from all four generators
     verified: DataFrame, // candidate pairs + exact measures + edge flags
     clusters: DataFrame, // (image_id, cluster_id) for every CLEAN row
-    decisions: DataFrame, // per-row blocked/duplicate/new + best match
-    recurring: DataFrame // cluster_id tagged Recurring (>= 1+minDups members)
+    decisions: DataFrame, // per-row blocked/duplicate/new + best match +
+    //                       top_matches (cfg.topK) + match details + is_recurring
+    recurring: DataFrame, // cluster_id tagged Recurring (>= 1+minDups members)
+    audit: DataFrame // per-decision audit rows with reasoning (schema.sql:126-154)
 )
 
 /**
@@ -88,6 +90,74 @@ object Dedup {
           .otherwise("new"))
   }
 
+  /**
+   * Full decisions output: the decision rule above PLUS the reference's
+   * candidate surface — `top_matches`, the per-row top-`cfg.topK` candidate
+   * list (`app/services/similarity_engine.py:101-104`,
+   * `duplicate_detector.py:77`), the best pair's match details
+   * (`similarity_engine.py:235-321`), and the Recurring tag joined back onto
+   * member rows (`duplicate_detector.py:315-347`).
+   *
+   * One window shuffle on dst; the groupBy that follows reuses the window's
+   * hash partitioning, so best + top-k come out of a single exchange.
+   * top_matches draws on ALL verified pairs (>= prefilter), not just edges —
+   * the reference returns sub-threshold candidates for review too; the
+   * DECISION itself is unaffected (non-edge pairs score < flagThreshold by
+   * construction).
+   */
+  def decisionsEnriched(clean: DataFrame, verified: DataFrame, clusters: DataFrame,
+      recurring: DataFrame, cfg: DedupConfig): DataFrame = {
+    val byDst = Window.partitionBy(col("dst"))
+      .orderBy(col("match_score").desc, col("src").asc)
+    val ranked = verified
+      .select("src", "dst", "match_score", "matching_fields", "differing_fields", "confidence")
+      .withColumn("rn", row_number().over(byDst))
+      .where(col("rn") <= math.max(cfg.topK, 1))
+    val perRow = ranked.groupBy(col("dst").as("image_id")).agg(
+      max(when(col("rn") === 1, struct(
+        col("src").as("best_match_id"), col("match_score").as("best_score"),
+        col("matching_fields"), col("differing_fields"), col("confidence")))).as("best"),
+      transform(
+        sort_array(collect_list(struct(col("rn"), col("src").as("match_id"),
+          col("match_score").as("score")))),
+        x => struct(x("match_id"), x("score"))).as("top_matches"))
+    clean.select("image_id")
+      .join(perRow, Seq("image_id"), "left")
+      .join(clusters, Seq("image_id"), "left")
+      .select(col("image_id"),
+        col("best.best_match_id").as("best_match_id"),
+        col("best.best_score").as("best_score"),
+        col("best.matching_fields").as("matching_fields"),
+        col("best.differing_fields").as("differing_fields"),
+        col("best.confidence").as("confidence"),
+        col("top_matches"), col("cluster_id"))
+      .withColumn("decision",
+        when(col("best_score") >= cfg.blockThreshold, "blocked")
+          .when(col("best_score") >= cfg.flagThreshold, "duplicate")
+          .otherwise("new"))
+      .join(recurring.select(col("cluster_id"), lit(true).as("is_recurring")),
+        Seq("cluster_id"), "left")
+      .withColumn("is_recurring", coalesce(col("is_recurring"), lit(false)))
+  }
+
+  /** Audit-shaped table (reference `migrations/schema.sql:126-154`,
+    * `duplicate_detector.py:177-208`): one row per decision with the score,
+    * the evidence fields, and a human-readable reasoning string. */
+  def auditLog(enriched: DataFrame, cfg: DedupConfig): DataFrame =
+    enriched.select(
+      col("image_id"), col("decision"), col("best_match_id"),
+      col("best_score"), col("confidence"),
+      col("matching_fields"), col("differing_fields"),
+      col("cluster_id"), col("is_recurring"),
+      when(col("decision") === "blocked",
+        concat(lit("blocked: score "), round(col("best_score"), 4).cast("string"),
+          lit(s" >= ${cfg.blockThreshold} vs "), col("best_match_id")))
+        .when(col("decision") === "duplicate",
+          concat(lit("flagged duplicate: score "), round(col("best_score"), 4).cast("string"),
+            lit(s" >= ${cfg.flagThreshold} vs "), col("best_match_id")))
+        .otherwise(lit(s"new: no prior match >= ${cfg.flagThreshold}"))
+        .as("reasoning"))
+
   def recurring(clusters: DataFrame, cfg: DedupConfig): DataFrame =
     clusters.groupBy("cluster_id").agg(count(lit(1)).as("members"))
       .where(col("members") >= cfg.recurringMinDuplicates + 1)
@@ -109,8 +179,10 @@ object Dedup {
       clean.select(col("image_id").as("id")), edges, cfg.maxCcIterations)
       .select(col("id").as("image_id"), col("cluster_id"))
 
-    DedupResult(clean, lowQ, cands, verified, clusters,
-      decisions(clean, edges, clusters, cfg), recurring(clusters, cfg))
+    val recur = recurring(clusters, cfg)
+    val decis = decisionsEnriched(clean, verified, clusters, recur, cfg)
+    DedupResult(clean, lowQ, cands, verified, clusters, decis, recur,
+      auditLog(decis, cfg))
   }
 
   /**
@@ -138,9 +210,10 @@ object Dedup {
         clean.select(col("image_id").as("id")), edges, cfg.maxCcIterations)
         .select(col("id").as("image_id"), col("cluster_id")))
 
-    val decis = Layout.runStage(spark, root, "decisions")(
-      decisions(clean, edges, clusters, cfg))
     val recur = Layout.runStage(spark, root, "recurring")(recurring(clusters, cfg))
+    val decis = Layout.runStage(spark, root, "decisions")(
+      decisionsEnriched(clean, verified, clusters, recur, cfg))
+    val audit = Layout.runStage(spark, root, "audit")(auditLog(decis, cfg))
 
     // one aggregation job for all decision metrics (decision counts come
     // from a single groupBy pass, candidate/cluster rows from the stage
@@ -151,6 +224,6 @@ object Dedup {
       ("candidates", "pairs", cands.count().toDouble),
       ("clusters", "rows", clusters.count().toDouble)) ++ decisionCounts)
 
-    DedupResult(clean, lowQ, cands, verified, clusters, decis, recur)
+    DedupResult(clean, lowQ, cands, verified, clusters, decis, recur, audit)
   }
 }

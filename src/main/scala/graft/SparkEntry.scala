@@ -71,6 +71,7 @@ object SparkEntry {
     "pipeline_verified_pairs" -> (Engine.pipelineVerifiedPairs(_, _)),
     "pipeline_low_quality" -> (Engine.pipelineLowQuality(_, _)),
     "pipeline_cluster_stats" -> (Engine.pipelineClusterStats(_, _)),
+    "pipeline_audit" -> (Engine.pipelineAudit(_, _)),
     "image_features" -> (Engine.imageFeatures(_, _)),
     "exact_dedup_corpus" -> (Engine.exactDedupCorpus(_, _)),
     "substring_pairs_corpus" -> (Engine.substringPairsCorpus(_, _))

@@ -70,9 +70,10 @@ final case class DedupConfig(
     // chars, and short keys over a small vocabulary are shared by hundreds
     // of captions (12-char keys produced ~17M false join hits at 500k rows)
     substringMinLen: Int = 32,
-    // skew handling
-    bucketSizeCap: Int = 64, // LSH buckets larger than this get the salted path
-    saltFactor: Int = 8,
+    // skew handling: buckets larger than this split into the salted grid
+    // (the grid derives its own salt-group count from the bucket size, so
+    // no separate salt factor exists)
+    bucketSizeCap: Int = 64,
     // quality gate (reference `app/services/quality_checker.py:33-135`)
     minCaptionLen: Int = 10,
     minUniqueTokenRatio: Double = 0.3,

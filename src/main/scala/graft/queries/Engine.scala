@@ -163,6 +163,9 @@ object Engine {
     runPipeline(spark, dir).lowQuality
       .select("image_id", "caption", "quality_score", "quality_severity")
 
+  def pipelineAudit(spark: SparkSession, dir: String): DataFrame =
+    runPipeline(spark, dir).audit
+
   def pipelineClusterStats(spark: SparkSession, dir: String): DataFrame =
     runPipeline(spark, dir).clusters
       .groupBy("cluster_id").agg(count(lit(1)).as("members"))

@@ -97,6 +97,56 @@ class PipelineSpec extends AnyFunSuite {
     assert(rate <= 0.01, s"decision mismatch rate $rate > 1%")
   }
 
+  test("top-k candidate list: head is the best match, ordered, capped at topK") {
+    import org.apache.spark.sql.Row
+    val rows = result.decisions
+      .select("image_id", "best_match_id", "best_score", "top_matches").collect()
+    assert(rows.exists(r => !r.isNullAt(3) && r.getSeq[Row](3).size > 1),
+      "some row must have multiple candidates")
+    rows.foreach { r =>
+      if (!r.isNullAt(3)) {
+        val tm = r.getSeq[Row](3)
+        assert(tm.size <= cfg.topK, s"top_matches exceeds topK for ${r.getString(0)}")
+        // head of the list IS the best match (best-of-k parity)
+        assert(tm.head.getString(0) == r.getString(1) &&
+          tm.head.getDouble(1) == r.getDouble(2),
+          s"top_matches head != best for ${r.getString(0)}")
+        // scores are non-increasing
+        tm.sliding(2).foreach {
+          case Seq(a, b) => assert(a.getDouble(1) >= b.getDouble(1))
+          case _ => ()
+        }
+      }
+    }
+  }
+
+  test("recurring tag joined back onto member rows") {
+    import spark.implicits._
+    val recClusters = result.recurring.select("cluster_id").as[String].collect().toSet
+    val byFlag = result.decisions.select("cluster_id", "is_recurring")
+      .as[(String, Boolean)].collect()
+    assert(recClusters.nonEmpty)
+    byFlag.foreach { case (c, f) =>
+      assert(f == recClusters.contains(c), s"is_recurring mismatch for cluster $c")
+    }
+  }
+
+  test("audit rows: one per decision with consistent reasoning") {
+    import spark.implicits._
+    val audit = result.audit.select("image_id", "decision", "reasoning")
+      .as[(String, String, String)].collect()
+    assert(audit.length == result.decisions.count())
+    audit.foreach { case (id, d, why) =>
+      assert(why != null && why.nonEmpty, s"empty reasoning for $id")
+      val expectPrefix = d match {
+        case "blocked" => "blocked:"
+        case "duplicate" => "flagged duplicate:"
+        case _ => "new:"
+      }
+      assert(why.startsWith(expectPrefix), s"$id: '$why' !~ $expectPrefix")
+    }
+  }
+
   test("low-quality rows are quarantined, not clustered") {
     import spark.implicits._
     val lq = result.lowQuality.select("image_id").as[String].collect().toSet

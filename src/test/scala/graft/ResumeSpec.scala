@@ -49,11 +49,13 @@ class ResumeSpec extends AnyFunSuite {
     val first = Dedup.runCheckpointed(spark, input, root, DedupConfig.default)
     val clustersA = first.clusters.as[(String, String)].collect().toSet
 
-    // simulate a crash during the 'verified' stage: its checkpoint is gone
+    // simulate a crash during the 'verified' stage: its checkpoint and all
+    // downstream checkpoints are gone (a real crash never completes them)
     deleteRec(Paths.get(root, "verified"))
     deleteRec(Paths.get(root, "clusters"))
     deleteRec(Paths.get(root, "decisions"))
     deleteRec(Paths.get(root, "recurring"))
+    deleteRec(Paths.get(root, "audit"))
 
     assert(Layout.isComplete(root, "features"), "upstream checkpoint intact")
     assert(!Layout.isComplete(root, "verified"))
