@@ -185,24 +185,39 @@ object Dedup {
       auditLog(decis, cfg))
   }
 
+  /** The batch value the initial full run writes its partitions under. */
+  val BaseBatch = "0"
+
   /**
    * Checkpointed, resumable run: every stage is persisted as an
    * Iceberg-layout table under `root`; a re-run skips stages whose manifest
    * exists (kill-and-restart resumes at the first incomplete stage), and
-   * lineage + metrics rows are appended per stage.
+   * lineage + metrics rows are recorded per stage.
+   *
+   * Row-level stages (features / low_quality / candidates / verified) are
+   * PARTITIONED by `batch` so `Incremental.append` can later add an input
+   * partition and recompute only the affected slices (per-partition
+   * manifest entries — see Layout). The full run writes batch "0".
+   *
+   * Job economy: one Spark job per stage (row counts observed on the write
+   * itself), run-level metrics from manifest counts (zero jobs), decision
+   * counts one groupBy job, lineage flushed once.
    */
   def runCheckpointed(spark: SparkSession, input: DataFrame, root: String,
       cfg: DedupConfig = DedupConfig.default): DedupResult = {
-    val feats = Layout.runStage(spark, root, "features")(features(input, cfg))
+    val batchCol = Seq("batch")
+    val base = Some(BaseBatch)
+    val feats = Layout.runStage(spark, root, "features", batchCol, base)(
+      features(input, cfg).withColumn("batch", lit(BaseBatch)))
     val clean = feats.where(!col("is_low_quality"))
-    val lowQ = Layout.runStage(spark, root, "low_quality")(
+    val lowQ = Layout.runStage(spark, root, "low_quality", batchCol, base)(
       feats.where(col("is_low_quality"))
-        .select("image_id", "caption", "issues", "quality_score", "quality_severity"))
+        .select("image_id", "caption", "issues", "quality_score", "quality_severity", "batch"))
 
-    val cands = Layout.runStage(spark, root, "candidates", Seq("source"))(
-      candidates(clean, cfg))
-    val verified = Layout.runStage(spark, root, "verified")(
-      PairVerifier.verify(cands, clean, cfg))
+    val cands = Layout.runStage(spark, root, "candidates", batchCol, base)(
+      candidates(clean, cfg).withColumn("batch", lit(BaseBatch)))
+    val verified = Layout.runStage(spark, root, "verified", batchCol, base)(
+      PairVerifier.verify(cands, clean, cfg).withColumn("batch", lit(BaseBatch)))
     val edges = verified.where(col("is_edge")).select("src", "dst", "match_score")
 
     val clusters = Layout.runStage(spark, root, "clusters")(
@@ -215,15 +230,23 @@ object Dedup {
       decisionsEnriched(clean, verified, clusters, recur, cfg))
     val audit = Layout.runStage(spark, root, "audit")(auditLog(decis, cfg))
 
-    // one aggregation job for all decision metrics (decision counts come
-    // from a single groupBy pass, candidate/cluster rows from the stage
-    // manifests' footer-only counts)
-    val decisionCounts = decis.groupBy("decision").count().collect()
-      .map(r => (s"decisions", r.getString(0), r.getLong(1).toDouble)).toSeq
-    Layout.appendMetrics(spark, root, Seq(
-      ("candidates", "pairs", cands.count().toDouble),
-      ("clusters", "rows", clusters.count().toDouble)) ++ decisionCounts)
-
+    writeRunMetrics(spark, root, decis)
     DedupResult(clean, lowQ, cands, verified, clusters, decis, recur, audit)
+  }
+
+  /** Run-level metrics: decision counts (one groupBy job) + row counts and
+    * per-batch-partition rows straight from the stage manifests (no jobs);
+    * then the buffered lineage rows flush in one append. */
+  private[graft] def writeRunMetrics(spark: SparkSession, root: String,
+      decis: DataFrame): Unit = {
+    val decisionCounts = decis.groupBy("decision").count().collect()
+      .map(r => ("decisions", r.getString(0), r.getLong(1).toDouble)).toSeq
+    Layout.appendMetrics(spark, root, Seq(
+      ("candidates", "pairs", Layout.manifestRows(root, "candidates").toDouble),
+      ("clusters", "rows", Layout.manifestRows(root, "clusters").toDouble)) ++
+      Layout.partitionMetricRows(root, "features") ++
+      Layout.partitionMetricRows(root, "candidates") ++
+      Layout.partitionMetricRows(root, "verified") ++ decisionCounts)
+    Layout.flushLineage(spark, root)
   }
 }

@@ -1,0 +1,259 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.cluster.ConnectedComponents
+import graft.config.DedupConfig
+import graft.pairs.{Candidates, PairVerifier}
+import graft.sig.SuffixDup
+import graft.tables.Layout
+
+/**
+ * Partition-level incremental append (SURVEY S4 / reference
+ * `app/utils/vector_store.py:49-69` `add_bug` + north rule "checkpoints
+ * per-Iceberg-partition"): add one input partition to a completed
+ * `Dedup.runCheckpointed` root and recompute ONLY what the new rows touch.
+ *
+ * The trick everywhere is the same: never shuffle the existing corpus.
+ * The new batch is small, so its keys broadcast; full-table sides are only
+ * ever SCANNED and filtered against those broadcast keys (affected band
+ * buckets, affected phashes, affected suffix tiers) before any shuffle.
+ * Index stages make the scans cheap:
+ *
+ *   rep_map        exact-group key → rep        (match new rows to groups)
+ *   norm_map       caption norm → rep            (substring membership)
+ *   banded         MinHash band keys of reps     (the LSH index)
+ *   banded_simhash combo keys of distinct phash  (the image index)
+ *   suffix_keys    (b_id, tier, k) suffix index  (the substring index)
+ *
+ * built lazily from the features checkpoint on first append
+ * (`ensureIndexes`), then appended per batch like every row-level stage.
+ *
+ * Per-batch work: feature-extract new rows; band new reps; pair only inside
+ * affected buckets; verify only pairs touching a new row. Global stages
+ * (clusters / decisions / recurring / audit) are re-derived from the full
+ * edge set — label closure is global by nature, and those stages cost
+ * O(edges) + one window, not O(corpus²).
+ *
+ * Correctness contract (asserted by ResumeSpec): appending batch B to a
+ * root built from batch A produces EXACTLY the outputs of a full run over
+ * A ∪ B, provided ids in B sort after ids in A (arrival order — the same
+ * assumption the decision rule already makes).
+ */
+object Incremental {
+
+  private val IndexBatch = "idx0"
+
+  /** Build the incremental index stages from an existing features
+    * checkpoint if they are not present yet. */
+  def ensureIndexes(spark: SparkSession, root: String,
+      cfg: DedupConfig = DedupConfig.default): Unit = {
+    val feats = Layout.read(spark, root, "features")
+    val clean = feats.where(!col("is_low_quality"))
+    val batchCol = Seq("batch")
+    val base = Some(IndexBatch)
+
+    val repMap = Layout.runStage(spark, root, "rep_map", batchCol, base)(
+      Candidates.exactRepMapFull(clean).withColumn("batch", lit(IndexBatch)))
+    val normMap = Layout.runStage(spark, root, "norm_map", batchCol, base)(
+      Candidates.normMap(clean).withColumn("batch", lit(IndexBatch)))
+
+    Layout.runStage(spark, root, "banded", batchCol, base) {
+      val repIds = repMap.where(col("image_id") === col("rep")).select("image_id")
+      val reps = clean.join(repIds, Seq("image_id"))
+      Candidates.minhashBanded(reps, cfg).withColumn("batch", lit(IndexBatch))
+    }
+    Layout.runStage(spark, root, "banded_simhash", batchCol, base) {
+      val distinctPh = Candidates.phashRepMap(clean)
+        .where(col("image_id") === col("prep"))
+        .select(col("prep").as("id"), col("phash"))
+      Candidates.simhashBanded(distinctPh, cfg).withColumn("batch", lit(IndexBatch))
+    }
+    Layout.runStage(spark, root, "suffix_keys", batchCol, base) {
+      val nreps = normMap.where(col("image_id") === col("nrep"))
+        .select(col("nrep").as("id"), col("norm"))
+      SuffixDup.suffixEntries(nreps).select("b_id", "tier", "k")
+        .withColumn("batch", lit(IndexBatch))
+    }
+    Layout.flushLineage(spark, root)
+  }
+
+  /** Keep only pairs that touch at least one id from `ids` (broadcast). */
+  private def pairsTouching(pairs: DataFrame, ids: DataFrame): DataFrame =
+    pairs
+      .join(broadcast(ids.select(col("id").as("src"), lit(true).as("sNew"))), Seq("src"), "left")
+      .join(broadcast(ids.select(col("id").as("dst"), lit(true).as("dNew"))), Seq("dst"), "left")
+      .where(col("sNew") || col("dNew"))
+      .drop("sNew", "dNew")
+
+  /**
+   * Append `newInput` as partition `batch` and bring every output stage up
+   * to date. Returns the updated DedupResult over the full corpus.
+   */
+  def append(spark: SparkSession, root: String, newInput: DataFrame, batch: String,
+      cfg: DedupConfig = DedupConfig.default): DedupResult = {
+    require(batch != Dedup.BaseBatch && batch != IndexBatch, s"batch '$batch' is reserved")
+    ensureIndexes(spark, root, cfg)
+    val batchCol = Seq("batch")
+
+    // ---- 1. row-local stages: only the new partition ----------------------
+    Layout.runStagePartition(spark, root, "features", batchCol, batch)(
+      Dedup.features(newInput, cfg).withColumn("batch", lit(batch)))
+    val feats = Layout.read(spark, root, "features")
+    val clean = feats.where(!col("is_low_quality"))
+    val cleanNew = clean.where(col("batch") === batch)
+    Layout.runStagePartition(spark, root, "low_quality", batchCol, batch)(
+      feats.where(col("is_low_quality") && col("batch") === batch)
+        .select("image_id", "caption", "issues", "quality_score", "quality_severity", "batch"))
+
+    // ---- 2. exact groups: match new rows to existing reps -----------------
+    val keyCols = Candidates.ExactKeyCols
+    val newKeyed = cleanNew.select((Seq("image_id") ++ keyCols).map(col): _*)
+    val oldGroupReps = Layout.read(spark, root, "rep_map")
+      .where(col("image_id") === col("rep"))
+      .select(keyCols.map(col) :+ col("rep"): _*)
+    // stream the big rep table, broadcast the new keys — no corpus shuffle
+    val matched = oldGroupReps.join(broadcast(newKeyed), keyCols)
+      .select((Seq("image_id") ++ keyCols :+ "rep").map(col): _*)
+    val unmatched = newKeyed
+      .join(broadcast(matched.select("image_id")), Seq("image_id"), "left_anti")
+      .withColumn("rep", min(col("image_id")).over(
+        Window.partitionBy(keyCols.map(col): _*)))
+    val repNew = matched.unionByName(unmatched).withColumn("batch", lit(batch))
+    Layout.runStagePartition(spark, root, "rep_map", batchCol, batch)(repNew)
+
+    // ---- 3. norm groups ---------------------------------------------------
+    val newNorms = cleanNew.select("image_id", "norm")
+    val oldNormReps = Layout.read(spark, root, "norm_map")
+      .where(col("image_id") === col("nrep")).select("norm", "nrep")
+    val matchedN = oldNormReps.join(broadcast(newNorms), Seq("norm"))
+      .select("image_id", "norm", "nrep")
+    val unmatchedN = newNorms
+      .join(broadcast(matchedN.select("image_id")), Seq("image_id"), "left_anti")
+      .withColumn("nrep", min(col("image_id")).over(Window.partitionBy(col("norm"))))
+    val normNew = matchedN.unionByName(unmatchedN).withColumn("batch", lit(batch))
+    Layout.runStagePartition(spark, root, "norm_map", batchCol, batch)(normNew)
+    val normMapAll = Layout.read(spark, root, "norm_map")
+
+    // ---- 4. index appends: only NEW reps / phashes / norms ----------------
+    val newRepIds = repNew.where(col("image_id") === col("rep")).select("image_id")
+    Layout.runStagePartition(spark, root, "banded", batchCol, batch)(
+      Candidates.minhashBanded(cleanNew.join(broadcast(newRepIds), Seq("image_id")), cfg)
+        .withColumn("batch", lit(batch)))
+    val bandedAll = Layout.read(spark, root, "banded")
+
+    val phNewVals = cleanNew.select("phash").distinct()
+    val phAll = clean.select("image_id", "phash", "batch")
+    val presentOld = phAll.where(col("batch") =!= batch)
+      .join(broadcast(phNewVals), Seq("phash")).select("phash").distinct()
+    val newDistinctPh = phNewVals.join(broadcast(presentOld), Seq("phash"), "left_anti")
+    val newPhReps = cleanNew.select("image_id", "phash")
+      .join(broadcast(newDistinctPh), Seq("phash"))
+      .groupBy("phash").agg(min("image_id").as("id"))
+      .select("id", "phash")
+    Layout.runStagePartition(spark, root, "banded_simhash", batchCol, batch)(
+      Candidates.simhashBanded(newPhReps, cfg).withColumn("batch", lit(batch)))
+    val bandedSimAll = Layout.read(spark, root, "banded_simhash")
+
+    val newNormRepRows = unmatchedN.where(col("image_id") === col("nrep"))
+      .select(col("nrep").as("id"), col("norm")).distinct()
+    Layout.runStagePartition(spark, root, "suffix_keys", batchCol, batch)(
+      SuffixDup.suffixEntries(newNormRepRows).select("b_id", "tier", "k")
+        .withColumn("batch", lit(batch)))
+    val suffixKeysAll = Layout.read(spark, root, "suffix_keys")
+
+    // ---- 5. candidate pairs touching the new batch ------------------------
+    val newIds = cleanNew.select(col("image_id").as("id"))
+
+    val exactNew = repNew.where(col("image_id") =!= col("rep"))
+      .select(col("rep").as("src"), col("image_id").as("dst"), lit("exact").as("source"))
+
+    // MinHash: only buckets that received a new key participate
+    val bandedNewPart = bandedAll.where(col("batch") === batch)
+    val affectedBands = bandedNewPart.select("band", "bkey").distinct()
+    val bandCohort = bandedAll.select("id", "band", "bkey")
+      .join(broadcast(affectedBands), Seq("band", "bkey"))
+    val mhNew = pairsTouching(
+      Candidates.saltedSelfJoin(bandCohort, cfg.bucketSizeCap), newIds)
+      .withColumn("source", lit("minhash"))
+
+    // SimHash: same-phash links for new members + affected combo buckets
+    val prepPh = phAll.join(broadcast(phNewVals), Seq("phash"))
+      .groupBy("phash").agg(min("image_id").as("prep"))
+    val samePhashNew = cleanNew.select("image_id", "phash")
+      .join(broadcast(prepPh), Seq("phash"))
+      .where(col("image_id") =!= col("prep"))
+      .select(col("prep").as("src"), col("image_id").as("dst"))
+    val affectedCombos = bandedSimAll.where(col("batch") === batch)
+      .select("band", "bkey").distinct()
+    val simCohort = bandedSimAll.select("id", "band", "bkey")
+      .join(broadcast(affectedCombos), Seq("band", "bkey"))
+    val newPhRepIds = newPhReps.select("id")
+    val simBandNew = pairsTouching(
+      Candidates.saltedSelfJoin(simCohort, cfg.bucketSizeCap), newPhRepIds)
+    val simNew = samePhashNew.union(simBandNew).withColumn("source", lit("simhash"))
+
+    // Substring: containment relations touching norms of the new batch
+    val touchedNorms = cleanNew.select("norm").distinct()
+    val nrepsAll = normMapAll.where(col("image_id") === col("nrep"))
+    val touchedReps = nrepsAll.join(broadcast(touchedNorms), Seq("norm"))
+      .select(col("nrep").as("id"), col("norm"))
+    // R1: touched captions contained in ANY caption — probe new, filter the
+    // suffix index by the probes' keys, rejoin norms for verification
+    val probesNew = SuffixDup.probeEntries(touchedReps, cfg)
+    val skCohort = suffixKeysAll.select("b_id", "tier", "k")
+      .join(broadcast(probesNew.select("tier", "k").distinct()), Seq("tier", "k"))
+    val suffixCohort = nrepsAll
+      .select(col("nrep").as("b_id"), col("norm").as("b_norm"))
+      .join(broadcast(skCohort), Seq("b_id"))
+    val r1 = SuffixDup.verifyJoin(probesNew, suffixCohort, cfg)
+    // R2: ANY caption contained in a touched caption — build new, filter
+    // all probes by the new builds' keys (probe keys are one hash per row)
+    val buildsNew = SuffixDup.suffixEntries(touchedReps)
+    val probeCohort = SuffixDup.probeEntries(
+        nrepsAll.select(col("nrep").as("id"), col("norm")), cfg)
+      .join(broadcast(buildsNew.select("tier", "k").distinct()), Seq("tier", "k"))
+    val r2 = SuffixDup.verifyJoin(probeCohort, buildsNew, cfg)
+    val relations = r1.union(r2).distinct()
+    val involvedReps = relations.select(col("src").as("nrep"))
+      .union(relations.select(col("dst").as("nrep"))).distinct()
+    val normCohort = normMapAll.join(broadcast(involvedReps), Seq("nrep"))
+      .select("image_id", "norm", "nrep")
+    val subNew = pairsTouching(
+      Candidates.expandSubstringPairs(relations, normCohort)
+        .select("src", "dst"), newIds)
+      .withColumn("source", lit("substring"))
+
+    val candsNew = exactNew.unionByName(mhNew.select("src", "dst", "source"))
+      .unionByName(simNew.select("src", "dst", "source"))
+      .unionByName(subNew.select("src", "dst", "source"))
+      .withColumn("batch", lit(batch))
+    Layout.runStagePartition(spark, root, "candidates", batchCol, batch)(candsNew)
+    val candsAll = Layout.read(spark, root, "candidates")
+
+    // ---- 6. verify only the new pairs -------------------------------------
+    Layout.runStagePartition(spark, root, "verified", batchCol, batch)(
+      PairVerifier.verify(candsAll.where(col("batch") === batch), clean, cfg)
+        .withColumn("batch", lit(batch)))
+    val verifiedAll = Layout.read(spark, root, "verified")
+
+    // ---- 7. global stages re-derived over the full edge set ---------------
+    Seq("clusters", "recurring", "decisions", "audit").foreach(Layout.invalidate(root, _))
+    val edges = verifiedAll.where(col("is_edge")).select("src", "dst", "match_score")
+    val clusters = Layout.runStage(spark, root, "clusters")(
+      ConnectedComponents.run(
+        clean.select(col("image_id").as("id")), edges, cfg.maxCcIterations)
+        .select(col("id").as("image_id"), col("cluster_id")))
+    val recur = Layout.runStage(spark, root, "recurring")(
+      Dedup.recurring(clusters, cfg))
+    val decis = Layout.runStage(spark, root, "decisions")(
+      Dedup.decisionsEnriched(clean, verifiedAll, clusters, recur, cfg))
+    val audit = Layout.runStage(spark, root, "audit")(Dedup.auditLog(decis, cfg))
+
+    Dedup.writeRunMetrics(spark, root, decis)
+    val lowQ = Layout.read(spark, root, "low_quality")
+    DedupResult(clean, lowQ, candsAll, verifiedAll, clusters, decis, recur, audit)
+  }
+}

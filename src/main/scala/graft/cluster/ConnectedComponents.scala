@@ -33,9 +33,12 @@ object ConnectedComponents {
     val sym = edges.select(col("src").as("a"), col("dst").as("b"))
       .union(edges.select(col("dst").as("a"), col("src").as("b")))
 
+    // lazy localCheckpoint: materialization rides the hashSum job below, so
+    // each round costs ONE job (checkpoint + convergence check together)
+    // instead of two
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint()
+      .localCheckpoint(false)
 
     // convergence via label-hash sum: labels only ever DECREASE per vertex
     // (min propagation), so the multiset of labels is unchanged iff no
@@ -55,7 +58,7 @@ object ConnectedComponents {
         .select(col("b").as("id"), col("label"))
       val next = labels.select("id", "label").union(msgs)
         .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val nextSum = hashSum(next)
       labels = next
       converged = nextSum.compareTo(prevSum) == 0

@@ -43,11 +43,19 @@ object Candidates {
     * would silently merge unrelated rows into one exact group. Spark
     * compares full values within the hash-partitioned window, so this is
     * collision-free. */
-  def exactRepMap(features: DataFrame): DataFrame =
-    features.select(col("image_id"), col("norm"), col("w"), col("h"), col("fmt"), col("phash"))
+  /** The exact-group key columns. */
+  val ExactKeyCols: Seq[String] = Seq("norm", "w", "h", "fmt", "phash")
+
+  /** Rep map WITH the key columns kept — persisted as the `rep_map` stage so
+    * an incremental batch can match new rows to existing groups without
+    * re-windowing the full table. */
+  def exactRepMapFull(features: DataFrame): DataFrame =
+    features.select((Seq("image_id") ++ ExactKeyCols).map(col): _*)
       .withColumn("rep", min(col("image_id")).over(
-        Window.partitionBy(col("norm"), col("w"), col("h"), col("fmt"), col("phash"))))
-      .select(col("image_id"), col("rep"))
+        Window.partitionBy(ExactKeyCols.map(col): _*)))
+
+  def exactRepMap(features: DataFrame): DataFrame =
+    exactRepMapFull(features).select(col("image_id"), col("rep"))
 
   /** Unconditional member→rep pairs from exact groups. */
   def exactPairs(repMap: DataFrame): DataFrame =
@@ -110,49 +118,65 @@ object Candidates {
       .select(col("p.src").as("src"), col("p.dst").as("dst"))
   }
 
-  /** MinHash/LSH candidates over the exact-group representatives. */
-  def minhashPairs(reps: DataFrame, cfg: DedupConfig): DataFrame = {
-    val banded = reps
+  /** MinHash band-key projection of the reps: (id, band, bkey) — the LSH
+    * index. Persisted as the `banded` stage so an incremental batch joins
+    * its new keys against the index instead of re-sketching everything. */
+  def minhashBanded(reps: DataFrame, cfg: DedupConfig): DataFrame =
+    reps
       .where(col("shingles").isNotNull && size(col("shingles")) > 0)
       .select(col("image_id").as("id"),
         posexplode(MinHash.bandKeysCol(
           MinHash.signatureCol(col("shingles"), cfg.numHashes, cfg.hashSeed),
           cfg.bands, cfg.hashSeed)).as(Seq("band", "bkey")))
+
+  /** MinHash/LSH candidates over the exact-group representatives. */
+  def minhashPairs(reps: DataFrame, cfg: DedupConfig): DataFrame =
     // no distinct here: the verifier's groupBy(src,dst) dedups all
     // generators at once — a per-generator distinct is a wasted shuffle
-    saltedSelfJoin(banded, cfg.bucketSizeCap)
+    saltedSelfJoin(minhashBanded(reps, cfg), cfg.bucketSizeCap)
       .withColumn("source", lit("minhash"))
-  }
+
+  /** Per-phash representative map: (image_id, phash, prep). Persisted-free
+    * helper — the incremental path rebuilds only affected slices of it. */
+  def phashRepMap(clean: DataFrame): DataFrame =
+    clean.select(col("image_id"), col("phash"))
+      .withColumn("prep", min(col("image_id")).over(Window.partitionBy(col("phash"))))
+
+  /** SimHash combo-key projection of distinct phashes: (id, band, bkey). */
+  def simhashBanded(distinctPh: DataFrame, cfg: DedupConfig): DataFrame =
+    distinctPh.select(col("id"),
+      posexplode(SimHash.comboKeysCol(col("phash"), cfg.phashBands, cfg.phashAgree))
+        .as(Seq("band", "bkey")))
 
   /** SimHash candidates: distinct phashes banded by pigeonhole slices,
     * plus same-phash membership pairs (Hamming 0). */
   def simhashPairs(clean: DataFrame, cfg: DedupConfig): DataFrame = {
     // project before the window: the phash shuffle carries 2 columns, not
     // the whole feature row (shingle arrays dominate row width)
-    val phRep = clean.select(col("image_id"), col("phash"))
-      .withColumn("prep", min(col("image_id")).over(Window.partitionBy(col("phash"))))
+    val phRep = phashRepMap(clean)
     val samePhash = phRep.where(col("image_id") =!= col("prep"))
       .select(col("prep").as("src"), col("image_id").as("dst"))
 
     val distinctPh = phRep.where(col("image_id") === col("prep"))
       .select(col("prep").as("id"), col("phash"))
-    val banded = distinctPh.select(col("id"),
-      posexplode(SimHash.comboKeysCol(col("phash"), cfg.phashBands, cfg.phashAgree)).as(Seq("band", "bkey")))
-    val bandPairs = saltedSelfJoin(banded, cfg.bucketSizeCap)
+    val bandPairs = saltedSelfJoin(simhashBanded(distinctPh, cfg), cfg.bucketSizeCap)
 
     samePhash.union(bandPairs).withColumn("source", lit("simhash"))
   }
 
-  /** Substring candidates over distinct normalized captions, expanded back
-    * to all member rows (caption-level rule → member-level edges). */
-  def substringPairs(clean: DataFrame, cfg: DedupConfig): DataFrame = {
-    val normRep = clean.select(col("image_id"), col("norm"))
+  /** Per-norm representative map: (image_id, norm, nrep). Persisted as the
+    * `norm_map` stage for the incremental path. */
+  def normMap(clean: DataFrame): DataFrame =
+    clean.select(col("image_id"), col("norm"))
       .withColumn("nrep", min(col("image_id")).over(Window.partitionBy(col("norm"))))
+
+  /** Expand norm-rep containment pairs (src=contained rep, dst=container
+    * rep) to member-level candidate pairs via the norm map. */
+  def expandSubstringPairs(repPairs0: DataFrame, normRep: DataFrame): DataFrame = {
     val membership = normRep.select(col("image_id").as("member"), col("norm"))
     val reps = normRep.where(col("image_id") === col("nrep"))
       .select(col("nrep").as("id"), col("norm"))
-
-    val repPairs = SuffixDup.substringPairs(reps, cfg) // (src=contained, dst=container)
+    val repPairs = repPairs0
       .join(reps.select(col("id").as("src"), col("norm").as("src_norm")), "src")
       .join(reps.select(col("id").as("dst"), col("norm").as("dst_norm")), "dst")
 
@@ -166,5 +190,14 @@ object Candidates {
       .where(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("src"), greatest(col("a"), col("b")).as("dst"))
       .withColumn("source", lit("substring"))
+  }
+
+  /** Substring candidates over distinct normalized captions, expanded back
+    * to all member rows (caption-level rule → member-level edges). */
+  def substringPairs(clean: DataFrame, cfg: DedupConfig): DataFrame = {
+    val normRep = normMap(clean)
+    val reps = normRep.where(col("image_id") === col("nrep"))
+      .select(col("nrep").as("id"), col("norm"))
+    expandSubstringPairs(SuffixDup.substringPairs(reps, cfg), normRep)
   }
 }

@@ -45,34 +45,29 @@ object SuffixDup {
 
   def prefixKey(c: Column, width: Int): Column = xxhash64(substring(c, 1, width))
 
-  /**
-   * Candidate (a, b) pairs where normalized caption of `a` is a token-aligned
-   * substring of normalized caption of `b`, a != b. Input: DataFrame with
-   * (id: long, norm: string) where norm is the normalized caption.
-   * Output: (src_id, dst_id) with src_id != dst_id — containment pairs,
-   * both orientations possible.
-   */
-  def substringPairs(captions: DataFrame, cfg: DedupConfig): DataFrame = {
+  /** Probe entries: (a_id, a_norm, tier, k) — each caption long enough to
+    * be a meaningful substring, keyed on the widest tier its length covers. */
+  def probeEntries(captions: DataFrame, cfg: DedupConfig): DataFrame = {
     require(Tiers.head <= cfg.substringMinLen,
       "smallest tier must not exceed substringMinLen (or probes shorter " +
         "than every tier would be silently dropped)")
-
-    // probe side: captions long enough to be meaningful substrings; each
-    // probe joins on the widest tier its length covers
     val probeTier = Tiers.reverse.tail.foldLeft(
       when(length(col("norm")) >= Tiers.last, lit(Tiers.last))) {
       (acc, t) => acc.when(length(col("norm")) >= t, lit(t))
     }
-    val probe = captions
+    captions
       .where(length(col("norm")) >= cfg.substringMinLen)
       .withColumn("tier", probeTier)
       .select(col("id").as("a_id"), col("norm").as("a_norm"), col("tier"),
         xxhash64(col("norm").substr(lit(1), col("tier"))).as("k"))
+  }
 
-    // build side: a key per (token-aligned suffix, covered tier), from
-    // character offsets — NOT materialized suffix strings (those are
-    // O(len²) bytes per caption; offsets cut this stage from 54s to single
-    // digits at 100k rows)
+  /** Build entries: (b_id, b_norm, tier, k) — a key per (token-aligned
+    * suffix, covered tier), from character offsets — NOT materialized
+    * suffix strings (those are O(len²) bytes per caption; offsets cut this
+    * stage from 54s to single digits at 100k rows). The (b_id, tier, k)
+    * projection is what the `suffix_keys` incremental index persists. */
+  def suffixEntries(captions: DataFrame): DataFrame = {
     val tk = split(col("norm"), " ")
     val starts = slice(
       aggregate(tk, array(lit(1)),
@@ -89,12 +84,17 @@ object SuffixDup {
         }
         filter(array(entries: _*), e => e.isNotNull)
       }))
-    val suffixes = captions
+    captions
       .select(col("id").as("b_id"), col("norm").as("b_norm"),
         explode(suffixKeys).as("tk"))
       .select(col("b_id"), col("b_norm"), col("tk.tier").as("tier"), col("tk.k").as("k"))
       .dropDuplicates("b_id", "tier", "k")
+  }
 
+  /** Equi-join probes against suffix entries and verify real containment
+    * (both-end token alignment). Asymmetric on purpose: the incremental
+    * path passes only the affected slice of either side. */
+  def verifyJoin(probe: DataFrame, suffixes: DataFrame, cfg: DedupConfig): DataFrame =
     probe
       .join(suffixes, Seq("tier", "k"))
       .where(col("a_id") =!= col("b_id"))
@@ -109,7 +109,16 @@ object SuffixDup {
       .where(col("a_norm") =!= col("b_norm"))
       .select(col("a_id").as("src"), col("b_id").as("dst"))
       .distinct()
-  }
+
+  /**
+   * Candidate (a, b) pairs where normalized caption of `a` is a token-aligned
+   * substring of normalized caption of `b`, a != b. Input: DataFrame with
+   * (id: long, norm: string) where norm is the normalized caption.
+   * Output: (src_id, dst_id) with src_id != dst_id — containment pairs,
+   * both orientations possible.
+   */
+  def substringPairs(captions: DataFrame, cfg: DedupConfig): DataFrame =
+    verifyJoin(probeEntries(captions, cfg), suffixEntries(captions), cfg)
 
   /** Oracle-side containment check — same rule as the Spark verify above:
     * A occurs in B aligned to token boundaries at both ends, A != B,

@@ -33,6 +33,9 @@ object Sessions {
       // checkpointed stages are read back for row counts; push count()
       // down to parquet footers instead of scanning data
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // stage `batch` partition values are opaque strings ("0", "idx0", …);
+      // inference would type some dirs int and some string per stage
+      .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     extra.foreach { case (k, v) => b.config(k, v) }

@@ -41,6 +41,59 @@ class ResumeSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental append: affected slices only; outputs equal full recompute") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rootInc = "target/resume-spec-incr"
+    val rootFull = "target/resume-spec-incr-full"
+    deleteRec(Paths.get(rootInc)); deleteRec(Paths.get(rootFull))
+    val all = Synth.corpus(spark, 480).toDF()
+    val cut = f"img-${400}%010d"
+    val old = all.where(col("image_id") < cut)
+    val neu = all.where(col("image_id") >= cut)
+
+    Dedup.runCheckpointed(spark, old, rootInc, DedupConfig.default)
+    val inc = Incremental.append(spark, rootInc, neu, "1", DedupConfig.default)
+    val full = Dedup.runCheckpointed(spark, all, rootFull, DedupConfig.default)
+
+    def pairSet(r: DedupResult) = r.verified
+      .select(col("src"), col("dst"), round(col("hybrid"), 6), col("is_edge"),
+        col("is_substring"), col("phash_hamming"), sort_array(col("sources")))
+      .collect().map(_.toSeq).toSet
+    assert(pairSet(inc) == pairSet(full), {
+      val a = pairSet(inc); val b = pairSet(full)
+      s"verified differ; inc-only=${(a -- b).take(5)} full-only=${(b -- a).take(5)}"
+    })
+
+    val ci = inc.clusters.as[(String, String)].collect().toSet
+    val cf = full.clusters.as[(String, String)].collect().toSet
+    assert(ci == cf, s"clusters differ: ${(ci -- cf).take(5)} / ${(cf -- ci).take(5)}")
+
+    def decSet(r: DedupResult) = r.decisions
+      .select(col("image_id"), col("decision"), col("best_match_id"),
+        col("best_score"), col("cluster_id"), col("is_recurring"),
+        size(col("top_matches")))
+      .collect().map(_.toSeq).toSet
+    assert(decSet(inc) == decSet(full))
+
+    // the incremental run must have APPENDED the new partition, not
+    // recomputed the base: lineage shows features/1 computed while the
+    // base 'features' stage has no second non-skipped row
+    val lineage = spark.read.parquet(s"$rootInc/_lineage")
+      .select("stage", "skipped").as[(String, Boolean)].collect()
+    assert(lineage.count { case (s, sk) => s == "features" && !sk } == 1)
+    assert(lineage.contains(("features/1", false)))
+    assert(lineage.contains(("rep_map/1", false)))
+    assert(lineage.contains(("banded/1", false)))
+
+    // appending the same batch again skips every row-level slice
+    Incremental.append(spark, rootInc, neu, "1", DedupConfig.default)
+    val lineage2 = spark.read.parquet(s"$rootInc/_lineage")
+      .select("stage", "skipped").as[(String, Boolean)].collect()
+    assert(lineage2.contains(("features/1", true)))
+    assert(lineage2.contains(("candidates/1", true)))
+  }
+
   test("killing a stage (deleting its checkpoint) recomputes only from there") {
     import spark.implicits._
     val root = "target/resume-spec-kill"
