@@ -61,7 +61,17 @@ object Bench {
       .mkString("{", ",", "}")
     val total = f"${results.values.sum}%.3f"
     val ips = f"${n / pipeSec}%.1f"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_rows":$n,"pipeline_clusters":$clusters,"images_per_sec":$ips}""")
+    // per-query latency percentiles (reference harness shape,
+    // benchmarks/run_benchmarks.py:72-98): exact linear interpolation,
+    // same definition as q33 / DuckDB quantile_cont
+    def pct(p: Double): Double = {
+      val s = results.values.toSeq.sorted
+      val pos = p * (s.size - 1)
+      val lo = s(pos.floor.toInt); val hi = s(pos.ceil.toInt)
+      lo + (hi - lo) * (pos - pos.floor)
+    }
+    val pcts = f""""query_sec_p50":${pct(0.5)}%.3f,"query_sec_p95":${pct(0.95)}%.3f,"query_sec_p99":${pct(0.99)}%.3f"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$pcts,"sf":"$sfDir","pipeline_rows":$n,"pipeline_clusters":$clusters,"images_per_sec":$ips}""")
     spark.stop()
   }
 }

@@ -62,6 +62,7 @@ object SparkEntry {
     "q32_top_parents_docs" -> (DedupTwins.q32TopParentsDocs(_, _)),
     "q33_percentiles" -> (DedupTwins.q33Percentiles(_, _)),
     "q34_prefix_dedup_docs" -> (DedupTwins.q34PrefixDedupDocs(_, _)),
+    "q35_pagination" -> (Relational.q35Pagination(_, _)),
     // engine-native (rows-only checks; oracle parity lives in the test suite)
     "dedup_minhash_docs" -> (Engine.minhashCandidatesDocs(_, _)),
     "dedup_simhash_docs" -> (Engine.simhashDocs(_, _)),
@@ -111,6 +112,7 @@ object SparkEntry {
     "q31_score_histogram_docs" -> DedupTwins.q31Sql,
     "q32_top_parents_docs" -> DedupTwins.q32Sql,
     "q33_percentiles" -> DedupTwins.q33Sql,
-    "q34_prefix_dedup_docs" -> DedupTwins.q34Sql
+    "q34_prefix_dedup_docs" -> DedupTwins.q34Sql,
+    "q35_pagination" -> Relational.q35Sql
   )
 }

@@ -56,9 +56,9 @@ object Engine {
       posexplode(MinHash.bandKeysCol(
         MinHash.signatureCol(col("hashes"), cfg.numHashes, cfg.hashSeed),
         cfg.bands, cfg.hashSeed)).as(Seq("band", "bkey")))
+    // ONE distinct, after the numeric re-order — a distinct before the
+    // projection would be a second, redundant shuffle of the same pairs
     Candidates.saltedSelfJoin(banded, cfg.bucketSizeCap)
-      .distinct()
-      // pair ids travel as strings through the generic join; re-order numerically
       .select(least(col("src").cast("long"), col("dst").cast("long")).as("da"),
         greatest(col("src").cast("long"), col("dst").cast("long")).as("db"))
       .distinct()

@@ -240,4 +240,17 @@ object Relational {
   val q15Sql: String =
     """SELECT o_custkey, count(*) AS orders, 'Recurring' AS tag FROM orders
       |GROUP BY o_custkey HAVING count(*) >= 20""".stripMargin
+
+  /** T2 pagination: page 2 of the price-ranked orders (offset + limit with
+    * a total tie-break so pages are deterministic). */
+  def q35Pagination(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice").cast(dec).cast("double").as("price"))
+      .orderBy(col("price").desc, col("o_orderkey").asc)
+      .offset(10)
+      .limit(10)
+
+  val q35Sql: String =
+    """SELECT o_orderkey, cast(cast(o_totalprice AS decimal(18,2)) AS double) AS price
+      |FROM orders ORDER BY price DESC, o_orderkey ASC LIMIT 10 OFFSET 10""".stripMargin
 }

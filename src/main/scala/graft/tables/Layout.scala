@@ -132,20 +132,26 @@ object Layout {
   /**
    * Resumable stage: if the stage's manifest exists, read the checkpoint and
    * skip the compute entirely (re-run after a kill resumes here); otherwise
-   * compute, persist (one job), buffer a lineage row, and read back (so
-   * downstream stages scan Parquet instead of recomputing the plan).
+   * compute WITH a memory/disk persist, write the checkpoint (the write job
+   * populates the cache — one pass), and return the CACHED DataFrame.
+   * Downstream stages read the cache instead of re-scanning the
+   * freshly-written Parquet — the checkpoint is for resume and external
+   * consumers, not for intra-run data flow (round-1's write→read-back
+   * round-trips were a measured chunk of the fixed per-run cost).
    */
   def runStage(spark: SparkSession, root: String, stage: String,
       partitionBy: Seq[String] = Nil,
       partitionValue: Option[String] = None)(compute: => DataFrame): DataFrame = {
     if (!isComplete(root, stage)) {
       val t0 = System.nanoTime()
-      val rows = write(compute, root, stage, partitionBy, partitionValue)
+      val df = compute.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val rows = write(df, root, stage, partitionBy, partitionValue)
       bufferLineage(root, stage, rows, (System.nanoTime() - t0) / 1e9, skipped = false)
+      df
     } else {
       bufferLineage(root, stage, -1L, 0.0, skipped = true)
+      read(spark, root, stage)
     }
-    read(spark, root, stage)
   }
 
   /** Per-partition resumable stage: compute and append only if `partition`

@@ -73,6 +73,18 @@ class EngineQuerySpec extends AnyFunSuite {
     assert(pairs.count() > 0)
   }
 
+  test("percentile_approx tracks the exact percentile (A10)") {
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_extendedprice").cast("double").as("p"))
+    val r = li.agg(
+      percentile(col("p"), lit(0.95)).as("exact"),
+      percentile_approx(col("p"), lit(0.95), lit(10000)).as("approx")).head()
+    val (e, a) = (r.getDouble(0), r.getDouble(1))
+    info(f"p95 exact=$e%.2f approx=$a%.2f")
+    assert(math.abs(e - a) / e < 0.01, s"approx $a drifted >1% from exact $e")
+  }
+
   test("driver contract: entry returns rows; every oracleSql key has a query") {
     assert(SparkEntry.entry(spark).count() > 0)
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
