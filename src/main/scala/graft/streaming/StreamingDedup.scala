@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+
+import graft.config.DedupConfig
+import graft.gen.ImageRow
+import graft.tables.Layout
+import graft.{Dedup, Incremental}
+
+/**
+ * Structured Streaming front-end for the dedup pipeline (builder-prompt
+ * §2.9): `readStream` over an arrival directory of image+caption parquet,
+ * micro-batches applied through `foreachBatch` → `Incremental.append`, so
+ * every stage table under `root` stays continuously up to date with
+ * per-batch lineage (batch id = the stream's epoch id).
+ *
+ * This is the streaming twin of the reference's request-driven
+ * `process_incoming_bug` (`app/services/duplicate_detector.py:51-97`): each
+ * micro-batch is deduplicated against EVERYTHING that arrived before it —
+ * exact groups, LSH band buckets, phash combos and suffix keys are probed
+ * incrementally (affected slices only, see Incremental), then the global
+ * cluster/decision/audit tables are re-derived.
+ *
+ * Ordering contract: files must arrive with increasing image_ids (arrival
+ * order), the same assumption the reference's sequential rule and the
+ * incremental path already make. `maxFilesPerTrigger(1)` keeps micro-batch
+ * boundaries aligned with arrival files so batch ids are deterministic in
+ * tests.
+ */
+object StreamingDedup {
+
+  val InputSchema: StructType = Encoders.product[ImageRow].schema
+
+  /**
+   * Start the streaming dedup into `root`. The first micro-batch
+   * bootstraps the root via the full checkpointed run; later batches
+   * append incrementally. `Trigger.AvailableNow` drains everything
+   * currently in `inputDir` and stops — the batch-job-shaped deployment;
+   * pass a processing-time trigger for a long-running stream.
+   */
+  def start(spark: SparkSession, inputDir: String, root: String,
+      cfg: DedupConfig = DedupConfig.default,
+      trigger: Trigger = Trigger.AvailableNow(),
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val stream = spark.readStream
+      .schema(InputSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inputDir)
+
+    stream.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation",
+        checkpointDir.getOrElse(s"$root/_stream_checkpoint"))
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        absorb(spark, batch, root, epochId, cfg)
+      }
+      .start()
+  }
+
+  /** Apply one micro-batch: bootstrap on the first, append on the rest.
+    * Idempotent per epoch: an epoch marker commits AFTER the batch lands,
+    * so a redelivered epoch (foreachBatch's at-least-once contract) is a
+    * no-op rather than a double-append; within a partially-applied epoch,
+    * the per-partition manifests skip slices already recorded
+    * (ResumeSpec's re-append case). */
+  def absorb(spark: SparkSession, batch: DataFrame, root: String,
+      epochId: Long, cfg: DedupConfig): Unit = {
+    val marker = java.nio.file.Paths.get(root, s"_epoch_$epochId")
+    if (java.nio.file.Files.exists(marker) || batch.isEmpty) return
+    if (!Layout.isComplete(root, "features")) {
+      Dedup.runCheckpointed(spark, batch, root, cfg)
+    } else {
+      Incremental.append(spark, root, batch, s"s$epochId", cfg)
+    }
+    java.nio.file.Files.createDirectories(marker.getParent)
+    java.nio.file.Files.writeString(marker, "done")
+    ()
+  }
+}
