@@ -136,15 +136,20 @@ object Documents {
     // repartition: the table is one parquet split; shingling must not run
     // as a single task. shingles3 is array_distinct, so explode already
     // yields distinct (doc_id, s) rows — no distinct shuffle needed.
+    // hash the shingle IMMEDIATELY: the df window and the bucket join then
+    // shuffle 8-byte longs instead of multi-word strings (the oracle joins
+    // exact strings; 64-bit collisions are the same accepted risk as the
+    // MinHash path, ~n²·2⁻⁶⁴)
     val sh = t(spark, dir, "documents")
       .repartition(col("doc_id"))
       .select(col("doc_id"), explode(shingles3(col("text"))).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
     val keep = sh
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
       .where(col("df") <= ShingleDfCap)
     val sizes = keep.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val banded = keep.select(col("doc_id").as("id"),
-      lit(0).as("band"), xxhash64(col("s")).as("bkey"))
+      lit(0).as("band"), col("h").as("bkey"))
     val shared = graft.pairs.Candidates.saltedSelfJoin(banded, 64)
       .groupBy(col("src").as("da"), col("dst").as("db"))
       .agg(count(lit(1)).as("shared"))
