@@ -67,28 +67,44 @@ object Candidates {
    * candidate join — with buckets larger than `cap` split into a salted
    * grid so no reducer sees more than ~2·cap rows.
    *
-   * Shape: ONE window pass tags bucket size m (g = ceil(m/cap) salt groups,
-   * g=1 for small buckets), each row replicates to grid cells
-   * (si=own salt, sj >= si) as 'l' and (si <= own salt, sj=own salt) as 'r',
-   * then ONE groupBy(band,key,si,sj) collects the cell and pair expansion
-   * happens in codegen'd array expressions: same-cell (si==sj) pairs i<j
-   * over the sorted 'l' list, cross-cell pairs l×r. Exactly the naive
-   * self-join's pair set (asserted in CandidatesSpec).
+   * Shape: bucket sizes come from a partial-agg `groupBy(band,bkey).count()`
+   * — NOT a count window. A `count(*) OVER (PARTITION BY band,bkey)` would
+   * co-locate EVERY occurrence of the hottest key on one task *before* the
+   * salting it exists to enable; with map-side combine the groupBy reducer
+   * instead sees one pre-combined row per key per upstream partition. Only
+   * the OVERSIZED keys (m > cap) join back — via broadcast, so rows of a
+   * hot bucket get their salt group assigned map-side and never pass
+   * through an unsalted key-partitioned operator. The oversized-key set is
+   * small by construction (at most totalRows/cap distinct keys, in practice
+   * a handful of boilerplate keys; size `cap` so this stays broadcastable).
+   *
+   * Each row then replicates to grid cells (g = ceil(m/cap) salt groups,
+   * g=1 for small buckets): (si=own salt, sj >= si) as 'l' and
+   * (si <= own salt, sj=own salt) as 'r'; ONE groupBy(band,key,si,sj)
+   * collects the cell and pair expansion happens in codegen'd array
+   * expressions: same-cell (si==sj) pairs i<j over the sorted 'l' list,
+   * cross-cell pairs l×r. Exactly the naive self-join's pair set (asserted
+   * in CandidatesSpec). Singleton buckets ride the grid shuffle as one row
+   * each and expand to nothing — the count needed to drop them earlier
+   * would itself require the hot-key join-back this shape avoids.
    *
    * Why not a self-join: a join materializes and shuffles the banded table
    * once per side per branch — measured 4 shuffles of 90MB and ~800 CPU-s
    * at 5M banded rows; this shape is 2 shuffles and ~1/10 the CPU. Group
    * size is bounded by 2·cap, so collect_list cannot OOM a reducer.
+   *
+   * `banded` is evaluated twice (size agg + tagging); pass a persisted /
+   * checkpointed frame when its lineage is expensive to recompute.
    */
   def saltedSelfJoin(banded: DataFrame, cap: Int): DataFrame = {
+    val big = banded
+      .groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("m"))
+      .where(col("m") > cap)
     val tagged = banded
-      .withColumn("m", count(lit(1)).over(Window.partitionBy(col("band"), col("bkey"))))
-      // singleton buckets (the overwhelming majority under selective keys)
-      // cannot produce a pair — drop them before replication/grouping
-      .where(col("m") >= 2)
+      .join(broadcast(big), Seq("band", "bkey"), "left")
       .withColumn("g",
-        when(col("m") <= cap, lit(1))
-          .otherwise(ceil(col("m").cast("double") / cap)).cast("int"))
+        coalesce(ceil(col("m").cast("double") / cap).cast("int"), lit(1)))
       .withColumn("salt", pmod(xxhash64(col("id")), col("g")).cast("int"))
 
     val left = tagged.select(col("band"), col("bkey"), col("id"),

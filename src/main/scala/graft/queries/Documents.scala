@@ -140,13 +140,20 @@ object Documents {
     // shuffle 8-byte longs instead of multi-word strings (the oracle joins
     // exact strings; 64-bit collisions are the same accepted risk as the
     // MinHash path, ~n²·2⁻⁶⁴)
-    val sh = t(spark, dir, "documents")
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), explode(shingles3(col("text"))).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("h"))
-    val keep = sh
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
-      .where(col("df") <= ShingleDfCap)
+    // persisted: the (doc_id, h) projection feeds four consumers (df agg,
+    // anti-join, per-doc sizes, band join) — cached it is one linear scan
+    val sh = graft.util.Caches.persist(
+      t(spark, dir, "documents")
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), explode(shingles3(col("text"))).as("s"))
+        .select(col("doc_id"), xxhash64(col("s")).as("h")))
+    // the df cap is enforced by a partial-agg groupBy + a broadcast
+    // anti-join on the (tiny, ≤ rows/cap) over-cap key set — NOT a count
+    // window, which would co-locate every occurrence of the hottest
+    // boilerplate shingle on one task (the round-2 skew exposure)
+    val hot = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      .where(col("df") > ShingleDfCap)
+    val keep = sh.join(broadcast(hot.select("h")), Seq("h"), "left_anti")
     val sizes = keep.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val banded = keep.select(col("doc_id").as("id"),
       lit(0).as("band"), col("h").as("bkey"))

@@ -164,12 +164,15 @@ object Engine {
       .select("image_id", "caption", "quality_score", "quality_severity")
 
   def pipelineAudit(spark: SparkSession, dir: String): DataFrame =
+    // driver contract: every `queries` output must be hash/sortable by the
+    // harness — array cells are not (round-2's only red row), so the
+    // evidence-field arrays are projected through to_json
     runPipeline(spark, dir).audit
+      .withColumn("matching_fields", to_json(col("matching_fields")))
+      .withColumn("differing_fields", to_json(col("differing_fields")))
 
   def pipelineClusterStats(spark: SparkSession, dir: String): DataFrame =
-    runPipeline(spark, dir).clusters
-      .groupBy("cluster_id").agg(count(lit(1)).as("members"))
-      .groupBy("members").agg(count(lit(1)).as("clusters"))
+    graft.metrics.Metrics.clusterSizeHistogram(runPipeline(spark, dir).clusters)
 
   /** Multimodal feature extraction: decode the binary image column
     * (javax.imageio — a real decode, not a stub) per partition, emit typed
@@ -177,7 +180,8 @@ object Engine {
     * UDF / mapInPandas stage would use on a Python cluster. */
   def imageFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val n = math.min(synthRows(dir), 4000L) // decode cost cap for the dump
+    val corpus = synthRows(dir)
+    val n = math.min(corpus, 4000L) // decode cost cap for the dump
     Synth.corpus(spark, n).mapPartitions { it =>
       it.map { r =>
         val img = Images.decode(r.bytes)
@@ -193,6 +197,10 @@ object Engine {
           math.round(mean * 100.0) / 100.0, Images.phash(img) == r.phash)
       }
     }.toDF("image_id", "fmt", "w", "h", "mean_gray", "phash_consistent")
+      // the cap is part of the output contract, not a silent truncation:
+      // every row carries how many rows were decoded out of how many exist
+      .withColumn("decoded_rows", lit(n))
+      .withColumn("corpus_rows", lit(corpus))
   }
 
   /** Exact dedup by content fingerprint over the synthetic corpus
