@@ -7,6 +7,7 @@ import org.apache.spark.storage.StorageLevel
 
 import graft.cluster.ConnectedComponents
 import graft.config.DedupConfig
+import graft.metrics.Metrics
 import graft.pairs.{Candidates, PairVerifier}
 import graft.quality.Quality
 import graft.sig.Shingle
@@ -121,16 +122,21 @@ object Dedup {
         sort_array(collect_list(struct(col("rn"), col("src").as("match_id"),
           col("match_score").as("score")))),
         x => struct(x("match_id"), x("score"))).as("top_matches"))
-    clean.select("image_id")
+    // checkpointed runs carry the input's batch partition through to the
+    // decision row — it is the time axis of the decision timeline metrics
+    val idCols =
+      if (clean.columns.contains("batch")) Seq(col("image_id"), col("batch"))
+      else Seq(col("image_id"))
+    clean.select(idCols: _*)
       .join(perRow, Seq("image_id"), "left")
       .join(clusters, Seq("image_id"), "left")
-      .select(col("image_id"),
+      .select(idCols ++ Seq(
         col("best.best_match_id").as("best_match_id"),
         col("best.best_score").as("best_score"),
         col("best.matching_fields").as("matching_fields"),
         col("best.differing_fields").as("differing_fields"),
         col("best.confidence").as("confidence"),
-        col("top_matches"), col("cluster_id"))
+        col("top_matches"), col("cluster_id")): _*)
       .withColumn("decision",
         when(col("best_score") >= cfg.blockThreshold, "blocked")
           .when(col("best_score") >= cfg.flagThreshold, "duplicate")
@@ -230,23 +236,56 @@ object Dedup {
       decisionsEnriched(clean, verified, clusters, recur, cfg))
     val audit = Layout.runStage(spark, root, "audit")(auditLog(decis, cfg))
 
-    writeRunMetrics(spark, root, decis)
+    writeRunMetrics(spark, root, decis, lowQ, clusters)
     DedupResult(clean, lowQ, cands, verified, clusters, decis, recur, audit)
   }
 
-  /** Run-level metrics: decision counts (one groupBy job) + row counts and
-    * per-batch-partition rows straight from the stage manifests (no jobs);
-    * then the buffered lineage rows flush in one append. */
+  /**
+   * Run-level metrics appended to `_metrics`:
+   *  - decision counts + `average_match_score` + the per-batch decision
+   *    TIMELINE (reference `app/tasks.py:220-226` avg score and
+   *    `app/api/monitoring.py:189-213` duplicates-over-time; the `batch`
+   *    partition is the schema's time axis) — all riding ONE groupBy job;
+   *  - quality-issue explode counts over the low-quality queue and the
+   *    cluster-size histogram (`monitoring.py:216-258`, dashboards) — two
+   *    small jobs over the already-cached stage outputs;
+   *  - row counts and per-batch-partition rows straight from the stage
+   *    manifests (no jobs); then buffered lineage flushes in one append.
+   */
   private[graft] def writeRunMetrics(spark: SparkSession, root: String,
-      decis: DataFrame): Unit = {
-    val decisionCounts = decis.groupBy("decision").count().collect()
-      .map(r => ("decisions", r.getString(0), r.getLong(1).toDouble)).toSeq
+      decis: DataFrame, lowQ: DataFrame, clusters: DataFrame): Unit = {
+    val batchCol =
+      if (decis.columns.contains("batch")) col("batch") else lit(BaseBatch)
+    val agg = decis
+      .groupBy(col("decision"), batchCol.cast("string").as("b"))
+      .agg(count(lit(1)).as("c"),
+        sum("best_score").as("s"), count("best_score").as("cs"))
+      .collect()
+    val decisionCounts = agg.groupBy(_.getString(0)).toSeq.map { case (d, rows) =>
+      ("decisions", d, rows.map(_.getLong(2)).sum.toDouble)
+    }
+    val timeline = agg.toSeq.map { r =>
+      ("decisions", s"${r.getString(0)}[batch=${r.getString(1)}]", r.getLong(2).toDouble)
+    }
+    val scoreN = agg.map(_.getLong(4)).sum
+    val avgScore =
+      if (scoreN == 0) Nil
+      else {
+        val s = agg.map(r => if (r.isNullAt(3)) 0.0 else r.getDouble(3)).sum
+        Seq(("decisions", "average_match_score",
+          math.round(s / scoreN * 10000.0) / 10000.0))
+      }
+    val issueRows = Metrics.issueCounts(lowQ).collect()
+      .map(r => ("low_quality", s"issue[${r.getString(0)}]", r.getLong(1).toDouble)).toSeq
+    val histRows = Metrics.clusterSizeHistogram(clusters).collect()
+      .map(r => ("clusters", s"size[${r.getLong(0)}]", r.getLong(1).toDouble)).toSeq
     Layout.appendMetrics(spark, root, Seq(
       ("candidates", "pairs", Layout.manifestRows(root, "candidates").toDouble),
       ("clusters", "rows", Layout.manifestRows(root, "clusters").toDouble)) ++
       Layout.partitionMetricRows(root, "features") ++
       Layout.partitionMetricRows(root, "candidates") ++
-      Layout.partitionMetricRows(root, "verified") ++ decisionCounts)
+      Layout.partitionMetricRows(root, "verified") ++
+      decisionCounts ++ timeline ++ avgScore ++ issueRows ++ histRows)
     Layout.flushLineage(spark, root)
   }
 }

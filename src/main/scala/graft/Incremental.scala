@@ -80,13 +80,18 @@ object Incremental {
     Layout.flushLineage(spark, root)
   }
 
-  /** Keep only pairs that touch at least one id from `ids` (broadcast). */
+  /** Keep only pairs that touch at least one id from `ids` (broadcast).
+    * The final select restores (src, dst) COLUMN ORDER: a USING-join moves
+    * its key first, so after the dst join the frame is (dst, src, …) — a
+    * downstream positional `union` would silently flip every pair, turning
+    * src<dst arrival order on its head (a later row would block an earlier
+    * one; caught by StreamingSpec's boundary pair). */
   private def pairsTouching(pairs: DataFrame, ids: DataFrame): DataFrame =
     pairs
       .join(broadcast(ids.select(col("id").as("src"), lit(true).as("sNew"))), Seq("src"), "left")
       .join(broadcast(ids.select(col("id").as("dst"), lit(true).as("dNew"))), Seq("dst"), "left")
       .where(col("sNew") || col("dNew"))
-      .drop("sNew", "dNew")
+      .select(col("src"), col("dst"))
 
   /**
    * Append `newInput` as partition `batch` and bring every output stage up
@@ -157,7 +162,14 @@ object Incremental {
       Candidates.simhashBanded(newPhReps, cfg).withColumn("batch", lit(batch)))
     val bandedSimAll = Layout.read(spark, root, "banded_simhash")
 
-    val newNormRepRows = unmatchedN.where(col("image_id") === col("nrep"))
+    // derived from normNew, NOT unmatchedN: on a re-run after the norm_map
+    // partition committed (crash / stream redelivery), the new reps match
+    // THEMSELVES in oldNormReps, so unmatchedN is empty — an unmatchedN-based
+    // slice would commit an EMPTY suffix_keys partition and every future
+    // append would silently miss substring duplicates against these
+    // captions. normNew's self-rep rows are stable across re-runs (the same
+    // trick that keeps newRepIds stable via matched self-rows).
+    val newNormRepRows = normNew.where(col("image_id") === col("nrep"))
       .select(col("nrep").as("id"), col("norm")).distinct()
     Layout.runStagePartition(spark, root, "suffix_keys", batchCol, batch)(
       SuffixDup.suffixEntries(newNormRepRows).select("b_id", "tier", "k")
@@ -193,7 +205,7 @@ object Incremental {
     val newPhRepIds = newPhReps.select("id")
     val simBandNew = pairsTouching(
       Candidates.saltedSelfJoin(simCohort, cfg.bucketSizeCap), newPhRepIds)
-    val simNew = samePhashNew.union(simBandNew).withColumn("source", lit("simhash"))
+    val simNew = samePhashNew.unionByName(simBandNew).withColumn("source", lit("simhash"))
 
     // Substring: containment relations touching norms of the new batch
     val touchedNorms = cleanNew.select("norm").distinct()
@@ -205,9 +217,14 @@ object Incremental {
     val probesNew = SuffixDup.probeEntries(touchedReps, cfg)
     val skCohort = suffixKeysAll.select("b_id", "tier", "k")
       .join(broadcast(probesNew.select("tier", "k").distinct()), Seq("tier", "k"))
+    // NO broadcast hint on skCohort: unlike the other broadcasts here (all
+    // bounded by the new batch), this is a slice of the full suffix index
+    // selected by the probes' (tier,k) keys — a hot shared prefix can pull
+    // a corpus-scale slice through the driver. AQE still converts the
+    // shuffle join to a broadcast one at runtime when the slice is small.
     val suffixCohort = nrepsAll
       .select(col("nrep").as("b_id"), col("norm").as("b_norm"))
-      .join(broadcast(skCohort), Seq("b_id"))
+      .join(skCohort, Seq("b_id"))
     val r1 = SuffixDup.verifyJoin(probesNew, suffixCohort, cfg)
     // R2: ANY caption contained in a touched caption — build new, filter
     // all probes by the new builds' keys (probe keys are one hash per row)
@@ -252,8 +269,8 @@ object Incremental {
       Dedup.decisionsEnriched(clean, verifiedAll, clusters, recur, cfg))
     val audit = Layout.runStage(spark, root, "audit")(Dedup.auditLog(decis, cfg))
 
-    Dedup.writeRunMetrics(spark, root, decis)
     val lowQ = Layout.read(spark, root, "low_quality")
+    Dedup.writeRunMetrics(spark, root, decis, lowQ, clusters)
     DedupResult(clean, lowQ, candsAll, verifiedAll, clusters, decis, recur, audit)
   }
 }

@@ -63,6 +63,8 @@ object SparkEntry {
     "q33_percentiles" -> (DedupTwins.q33Percentiles(_, _)),
     "q34_prefix_dedup_docs" -> (DedupTwins.q34PrefixDedupDocs(_, _)),
     "q35_pagination" -> (Relational.q35Pagination(_, _)),
+    "q36_avg_match_score" -> (DedupTwins.q36AvgMatchScore(_, _)),
+    "q37_decision_timeline" -> (DedupTwins.q37DecisionTimeline(_, _)),
     // engine-native (rows-only checks; oracle parity lives in the test suite)
     "dedup_minhash_docs" -> (Engine.minhashCandidatesDocs(_, _)),
     "dedup_simhash_docs" -> (Engine.simhashDocs(_, _)),
@@ -113,6 +115,8 @@ object SparkEntry {
     "q32_top_parents_docs" -> DedupTwins.q32Sql,
     "q33_percentiles" -> DedupTwins.q33Sql,
     "q34_prefix_dedup_docs" -> DedupTwins.q34Sql,
-    "q35_pagination" -> Relational.q35Sql
+    "q35_pagination" -> Relational.q35Sql,
+    "q36_avg_match_score" -> DedupTwins.q36Sql,
+    "q37_decision_timeline" -> DedupTwins.q37Sql
   )
 }

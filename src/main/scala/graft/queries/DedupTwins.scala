@@ -42,6 +42,21 @@ object DedupTwins {
   private def toks(c: Column): Column =
     filter(split(c, " "), x => length(x) > 0)
 
+  /** The decision-family twins (q28–q32, q36, q37) all stand on q21's pair
+    * set and its CC closure; one driver run computes each ONCE per table
+    * directory and the rest reuse the persisted frame (round-2 verdict:
+    * every twin recomputed the full q21+CC stack from scratch). */
+  private val memo = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def memoized(spark: SparkSession, dir: String, key: String)(
+      f: => DataFrame): DataFrame =
+    memo.getOrElseUpdate(s"${System.identityHashCode(spark)}:$dir:$key",
+      graft.util.Caches.persist(f))
+
+  /** q21's exact-Jaccard pair set, computed once per (session, dir). */
+  def q21Pairs(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "pairs")(Documents.q21NgramJaccard(spark, dir))
+
   /** The 9 parquet tables are single-split; spread row-local projections. */
   private def docs(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents").repartition(spark.sparkContext.defaultParallelism)
@@ -147,13 +162,14 @@ object DedupTwins {
       |  FROM shared JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
       |  WHERE cast(shared AS double) / (sa.n + sb.n - shared) >= 0.5)""".stripMargin
 
-  def q28CcClustersDocs(spark: SparkSession, dir: String): DataFrame = {
-    val edges = Documents.q21NgramJaccard(spark, dir)
-      .select(col("da").as("src"), col("db").as("dst"))
-    val vertices = docs(spark, dir).select(col("doc_id").as("id"))
-    ConnectedComponents.run(vertices, edges, DedupConfig.default.maxCcIterations)
-      .select(col("id").as("doc_id"), col("cluster_id"))
-  }
+  def q28CcClustersDocs(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "cc") {
+      val edges = q21Pairs(spark, dir)
+        .select(col("da").as("src"), col("db").as("dst"))
+      val vertices = docs(spark, dir).select(col("doc_id").as("id"))
+      ConnectedComponents.run(vertices, edges, DedupConfig.default.maxCcIterations)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+    }
 
   val q28Sql: String =
     s"""WITH RECURSIVE $pairsCte,
@@ -168,16 +184,17 @@ object DedupTwins {
 
   // ---- q29: per-row decisions (the reference decision rule) ---------------
 
-  def q29DecisionsDocs(spark: SparkSession, dir: String): DataFrame = {
-    val clean = docs(spark, dir).select(col("doc_id").as("image_id"))
-    val edges = Documents.q21NgramJaccard(spark, dir)
-      .select(col("da").as("src"), col("db").as("dst"), col("jac").as("match_score"))
-    val clusters = q28CcClustersDocs(spark, dir)
-      .select(col("doc_id").as("image_id"), col("cluster_id"))
-    graft.Dedup.decisions(clean, edges, clusters, DedupConfig.default)
-      .select(col("image_id").as("doc_id"), col("decision"),
-        col("best_match_id"), col("best_score"), col("cluster_id"))
-  }
+  def q29DecisionsDocs(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "dec") {
+      val clean = docs(spark, dir).select(col("doc_id").as("image_id"))
+      val edges = q21Pairs(spark, dir)
+        .select(col("da").as("src"), col("db").as("dst"), col("jac").as("match_score"))
+      val clusters = q28CcClustersDocs(spark, dir)
+        .select(col("doc_id").as("image_id"), col("cluster_id"))
+      graft.Dedup.decisions(clean, edges, clusters, DedupConfig.default)
+        .select(col("image_id").as("doc_id"), col("decision"),
+          col("best_match_id"), col("best_score"), col("cluster_id"))
+    }
 
   /** Decision + cluster assignment per document — one CTE stack. */
   private val decisionsCte: String =
@@ -223,7 +240,7 @@ object DedupTwins {
       |SELECT * FROM counts UNION ALL SELECT * FROM total UNION ALL SELECT * FROM rates""".stripMargin
 
   def q31ScoreHistogramDocs(spark: SparkSession, dir: String): DataFrame =
-    Metrics.scoreHistogram(Documents.q21NgramJaccard(spark, dir), "jac")
+    Metrics.scoreHistogram(q21Pairs(spark, dir), "jac")
 
   val q31Sql: String =
     s"""WITH $pairsCte
@@ -276,4 +293,36 @@ object DedupTwins {
     """SELECT md5(array_to_string(list_filter(string_split(text, ' '), x -> len(x) > 0)[1:8], ' ')) AS pre_fp,
       |  count(*) AS copies, min(doc_id) AS keeper
       |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin
+
+  // ---- q36: average match score (reference `app/tasks.py:220-226`) ---------
+
+  def q36AvgMatchScore(spark: SparkSession, dir: String): DataFrame =
+    q29DecisionsDocs(spark, dir).agg(
+      round(avg(col("best_score")), 4).as("avg_match_score"),
+      count(col("best_score")).as("matched_rows"),
+      count(lit(1)).as("total_rows"))
+
+  val q36Sql: String =
+    s"""WITH RECURSIVE $decisionsCte
+      |SELECT round(avg(best_score), 4) AS avg_match_score,
+      |  count(best_score) AS matched_rows, count(*) AS total_rows
+      |FROM dec""".stripMargin
+
+  // ---- q37: decision timeline (reference `app/api/monitoring.py:189-213`;
+  //           doc_id arrival-order buckets stand in for the day axis — the
+  //           documents schema pins no timestamp, matching the engine's
+  //           batch-as-time-axis convention) --------------------------------
+
+  def q37DecisionTimeline(spark: SparkSession, dir: String): DataFrame =
+    q29DecisionsDocs(spark, dir)
+      .groupBy(floor(col("doc_id") / 100).cast("long").as("arrival_bucket"),
+        col("decision"))
+      .agg(count(lit(1)).as("cnt"),
+        round(avg(col("best_score")), 4).as("avg_score"))
+
+  val q37Sql: String =
+    s"""WITH RECURSIVE $decisionsCte
+      |SELECT cast(floor(doc_id / 100) AS bigint) AS arrival_bucket, decision,
+      |  count(*) AS cnt, round(avg(best_score), 4) AS avg_score
+      |FROM dec GROUP BY 1, 2""".stripMargin
 }

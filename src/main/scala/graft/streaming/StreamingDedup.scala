@@ -64,18 +64,33 @@ object StreamingDedup {
     * so a redelivered epoch (foreachBatch's at-least-once contract) is a
     * no-op rather than a double-append; within a partially-applied epoch,
     * the per-partition manifests skip slices already recorded
-    * (ResumeSpec's re-append case). */
+    * (ResumeSpec's re-append case).
+    *
+    * Bootstrap-vs-append is decided by a DURABLE `_bootstrap_epoch` marker
+    * written BEFORE the bootstrap run starts — not by probing stage
+    * manifests. If the bootstrap epoch crashes after the features manifest
+    * lands but before its epoch marker, the redelivered epoch must route
+    * back through `runCheckpointed` (which resumes stage-by-stage); a
+    * manifest probe would route the SAME rows into `Incremental.append`,
+    * duplicating the entire bootstrap corpus. All markers go through the
+    * Hadoop filesystem of `root`'s scheme (cluster-portable). */
   def absorb(spark: SparkSession, batch: DataFrame, root: String,
       epochId: Long, cfg: DedupConfig): Unit = {
-    val marker = java.nio.file.Paths.get(root, s"_epoch_$epochId")
-    if (java.nio.file.Files.exists(marker) || batch.isEmpty) return
-    if (!Layout.isComplete(root, "features")) {
+    val marker = s"$root/_epoch_$epochId"
+    if (Layout.markerExists(marker) || batch.isEmpty) return
+    val bootPath = s"$root/_bootstrap_epoch"
+    val bootEpoch = Layout.markerRead(bootPath).map(_.trim.toLong)
+    if (bootEpoch.contains(epochId) ||
+        (bootEpoch.isEmpty && !Layout.isComplete(root, "features"))) {
+      if (bootEpoch.isEmpty) Layout.markerWrite(bootPath, epochId.toString)
       Dedup.runCheckpointed(spark, batch, root, cfg)
     } else {
       Incremental.append(spark, root, batch, s"s$epochId", cfg)
     }
-    java.nio.file.Files.createDirectories(marker.getParent)
-    java.nio.file.Files.writeString(marker, "done")
-    ()
+    Layout.markerWrite(marker, "done")
+    // per-epoch cache hygiene: the global stages re-derived this epoch are
+    // superseded next epoch; without the release their disk-spilled blocks
+    // accumulate for the life of the stream
+    Layout.releaseCaches(root)
   }
 }

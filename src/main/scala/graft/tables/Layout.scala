@@ -1,9 +1,10 @@
 package graft.tables
 
-import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets.UTF_8
 import scala.collection.mutable
-import scala.jdk.CollectionConverters._
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
 
@@ -15,6 +16,11 @@ import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
  * slice of each upstream stage), per-stage lineage and metrics rows —
  * without the (absent, offline env) iceberg-spark-runtime jar. A real
  * Iceberg catalog is a drop-in replacement for this object.
+ *
+ * All manifest/marker IO goes through Hadoop `FileSystem` resolved from the
+ * root's scheme, NOT `java.nio.file` — the 100-TB deployment points `root`
+ * at `hdfs://`/`s3a://`, and the facade must follow the data. Local paths
+ * and `file:` URIs hit the local filesystem exactly as before.
  *
  * Job economy (the round-1 fixed-cost lesson — 35 driver jobs per run):
  *  - `write` runs ONE Spark job: the row count rides the write itself via
@@ -32,40 +38,83 @@ import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
  */
 object Layout {
 
-  private def manifestPath(root: String, stage: String) =
-    Paths.get(root, stage, "_MANIFEST.json")
+  /** Hadoop conf from the active session when there is one (so `--conf
+    * spark.hadoop.*` credentials reach the facade), else defaults. */
+  private def hconf: Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  private def fsFor(p: Path): FileSystem = p.getFileSystem(hconf)
+
+  // ---- scheme-portable marker/string IO (also used by StreamingDedup) -----
+
+  def markerExists(path: String): Boolean = {
+    val p = new Path(path)
+    fsFor(p).exists(p)
+  }
+
+  def markerRead(path: String): Option[String] = {
+    val p = new Path(path)
+    val fs = fsFor(p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), UTF_8)) finally in.close()
+    }
+  }
+
+  /** Overwrite-create (parents included — Hadoop create semantics). */
+  def markerWrite(path: String, content: String): Unit = {
+    val p = new Path(path)
+    val out = fsFor(p).create(p, true)
+    try out.write(content.getBytes(UTF_8)) finally out.close()
+  }
+
+  def markerDelete(path: String): Unit = {
+    val p = new Path(path)
+    fsFor(p).delete(p, false)
+    ()
+  }
+
+  private def manifestPath(root: String, stage: String): String =
+    s"$root/$stage/_MANIFEST.json"
 
   def isComplete(root: String, stage: String): Boolean =
-    Files.exists(manifestPath(root, stage))
+    markerExists(manifestPath(root, stage))
 
   /** Per-partition row counts recorded in the stage manifest — the north
     * rule's per-partition lineage/metrics, readable with zero Spark jobs. */
   def partitionRows(root: String, stage: String): Map[String, Long] =
-    if (!isComplete(root, stage)) Map.empty
-    else {
-      val m = Files.readString(manifestPath(root, stage))
+    markerRead(manifestPath(root, stage)).flatMap { m =>
       """"partitions":\{([^}]*)\}""".r.findFirstMatchIn(m)
         .map(_.group(1).split(",").filter(_.contains(":")).map { kv =>
           val Array(k, v) = kv.split(":", 2)
           k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toLong
         }.toMap)
-        .getOrElse(Map.empty)
-    }
+    }.getOrElse(Map.empty)
 
   /** Partition values (of the stage's partition column) recorded complete. */
   def completePartitions(root: String, stage: String): Set[String] =
     partitionRows(root, stage).keySet
 
   /** Row count recorded in the stage manifest — zero Spark jobs. */
-  def manifestRows(root: String, stage: String): Long = {
-    val m = Files.readString(manifestPath(root, stage))
-    """"rows":(\d+)""".r.findFirstMatchIn(m).map(_.group(1).toLong).getOrElse(-1L)
-  }
+  def manifestRows(root: String, stage: String): Long =
+    markerRead(manifestPath(root, stage))
+      .flatMap(""""rows":(\d+)""".r.findFirstMatchIn(_).map(_.group(1).toLong))
+      .getOrElse(-1L)
 
-  private def listParquetFiles(dir: String): Long =
-    if (!Files.exists(Paths.get(dir))) 0L
-    else Files.walk(Paths.get(dir)).iterator().asScala
-      .count(p => p.getFileName.toString.endsWith(".parquet"))
+  private def listParquetFiles(dir: String): Long = {
+    val p = new Path(dir)
+    val fs = fsFor(p)
+    if (!fs.exists(p)) 0L
+    else {
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+  }
 
   private def writeManifest(root: String, stage: String, rows: Long,
       partitionBy: Seq[String], partitions: Map[String, Long],
@@ -77,8 +126,7 @@ object Layout {
       s"""{"stage":"$stage","rows":$rows,"files":$files,"schema":$schema,""" +
         s""""partition_by":${partitionBy.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""partitions":$pv}"""
-    Files.createDirectories(manifestPath(root, stage).getParent)
-    Files.writeString(manifestPath(root, stage), manifest)
+    markerWrite(manifestPath(root, stage), manifest)
   }
 
   private def schemaJson(df: DataFrame): String =
@@ -119,15 +167,46 @@ object Layout {
     rows
   }
 
+  /** TEST/REPAIR ONLY: drop one partition from a stage's manifest and data
+    * (used to reconstruct mid-crash states in specs). */
+  private[graft] def dropPartition(root: String, stage: String,
+      partitionBy: String, partition: String): Unit = {
+    val prev = partitionRows(root, stage)
+    prev.get(partition).foreach { r =>
+      val dir = new Path(s"$root/$stage/$partitionBy=$partition")
+      fsFor(dir).delete(dir, true)
+      markerRead(manifestPath(root, stage)).foreach { m =>
+        val schema = """"schema":(\{[^}]*\})""".r.findFirstMatchIn(m)
+          .map(_.group(1)).getOrElse("{}")
+        writeManifest(root, stage, math.max(manifestRows(root, stage) - r, 0L),
+          Seq(partitionBy), prev - partition, schema)
+      }
+    }
+  }
+
   def read(spark: SparkSession, root: String, stage: String): DataFrame =
     spark.read.parquet(s"$root/$stage")
 
   /** Drop a stage's manifest so the next runStage recomputes it (the
-    * Overwrite write replaces the data files). Used by the incremental
-    * path for the global stages (clusters/decisions/...) that must be
-    * re-derived after an append. */
-  def invalidate(root: String, stage: String): Unit =
-    Files.deleteIfExists(manifestPath(root, stage))
+    * Overwrite write replaces the data files), and release the stage's
+    * cached handle — in a long-running stream each epoch re-derives the
+    * global stages, and without the unpersist the superseded cached blocks
+    * (disk-spilled ones are not LRU-evicted) accumulate per epoch. */
+  def invalidate(root: String, stage: String): Unit = {
+    markerDelete(manifestPath(root, stage))
+    synchronized(cachedStages.remove((root, stage))).foreach(_.unpersist(false))
+  }
+
+  /** Release every cached stage handle registered under `root` (end-of-run
+    * hygiene for streams and benches; resume re-reads from Parquet). */
+  def releaseCaches(root: String): Unit = synchronized {
+    cachedStages.filterInPlace { case ((r, _), df) =>
+      if (r == root) { df.unpersist(false); false } else true
+    }
+    ()
+  }
+
+  private val cachedStages = mutable.Map.empty[(String, String), DataFrame]
 
   /**
    * Resumable stage: if the stage's manifest exists, read the checkpoint and
@@ -145,6 +224,9 @@ object Layout {
     if (!isComplete(root, stage)) {
       val t0 = System.nanoTime()
       val df = compute.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      synchronized {
+        cachedStages.put((root, stage), df).foreach(_.unpersist(false))
+      }
       val rows = write(df, root, stage, partitionBy, partitionValue)
       bufferLineage(root, stage, rows, (System.nanoTime() - t0) / 1e9, skipped = false)
       df

@@ -60,6 +60,56 @@ class EngineQuerySpec extends AnyFunSuite {
     assert(top1Hit * 2 >= top1.size, "ann should retrieve the exact top-1 for a majority of queries")
   }
 
+  test("ann lsh topk: planted near-neighbor pairs (θ≈30°) meet the GW bound") {
+    import spark.implicits._
+    // Per-plane match rate for angle θ is 1-θ/π (Goemans–Williamson); with
+    // OR-amplification over L tables of `planes` bits the candidate
+    // probability is 1-(1-(1-θ/π)^planes)^L. At θ=30°, planes=4, L=8 that
+    // is ≥0.99 — a far stronger regime than the far-neighbor corpus's 0.5
+    // floor, so assert ≥0.9 measured.
+    val dim = 64
+    val theta = math.Pi / 6
+    val planes = 4
+    val tables = 8
+    val p1 = math.pow(1 - theta / math.Pi, planes)
+    val pBound = 1 - math.pow(1 - p1, tables)
+    assert(pBound >= 0.99, f"config must put the bound above 0.99, got $pBound%.4f")
+
+    val rnd = new scala.util.Random(2026)
+    def gauss() = Array.fill(dim)(rnd.nextGaussian())
+    def norm(v: Array[Double]) = { val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n) }
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], String)]
+    var id = 0L
+    val nPairs = 150
+    (0 until nPairs).foreach { p =>
+      val v = norm(gauss())
+      val w0 = gauss()
+      val d = v.zip(w0).map { case (a, b) => a * b }.sum
+      val w = norm(w0.zip(v).map { case (b, a) => b - d * a }) // ⊥ v
+      val u = v.zip(w).map { case (a, b) => math.cos(theta) * a + math.sin(theta) * b }
+      rows += ((id, v.map(_.toFloat), s"pair$p")); id += 1
+      rows += ((id, u.map(_.toFloat), s"pair$p")); id += 1
+    }
+    (0 until 100).foreach { _ => rows += ((id, norm(gauss()).map(_.toFloat), "bg")); id += 1 }
+    val nnDir = "target/ann-near-spec"
+    rows.toSeq.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$nnDir/embeddings.parquet")
+
+    val ann = Engine.annLshTopk(spark, nnDir, planes, tables)
+      .select("qid", "nid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // the partner sits at cos≈0.866 vs ~0 background — whenever the LSH
+    // candidate step finds the pair, top-5 must contain it, so the
+    // retrieval rate measures the bucket hit rate directly
+    val retrieved = (0 until nPairs).count { p =>
+      val a = 2L * p; val b = a + 1
+      ann.getOrElse(a, Set.empty).contains(b) && ann.getOrElse(b, Set.empty).contains(a)
+    }
+    val rate = retrieved.toDouble / nPairs
+    info(f"partner retrieval=$rate%.3f over $nPairs pairs (GW bound $pBound%.4f)")
+    assert(rate >= 0.9, f"near-neighbor retrieval $rate%.3f below 0.9 (bound $pBound%.4f)")
+  }
+
   test("exact dedup over corpus finds the planted identical groups") {
     import spark.implicits._
     val groups = Engine.exactDedupCorpus(spark, dir)

@@ -39,6 +39,20 @@ class ResumeSpec extends AnyFunSuite {
     stages.foreach { st =>
       assert(lineage.contains((st, true)), s"stage $st was not skipped on re-run")
     }
+
+    // the run's own _metrics table carries the monitoring families the
+    // reference dashboard publishes: decision counts + per-batch timeline,
+    // average match score, quality-issue counts, cluster-size histogram
+    val metrics = spark.read.parquet(s"$root/_metrics")
+      .select("stage", "metric").as[(String, String)].collect().toSet
+    assert(metrics.contains(("decisions", "blocked")), s"missing decision counts in $metrics")
+    assert(metrics.contains(("decisions", s"blocked[batch=${Dedup.BaseBatch}]")),
+      "missing per-batch decision timeline")
+    assert(metrics.contains(("decisions", "average_match_score")))
+    assert(metrics.exists { case (s, m) => s == "low_quality" && m.startsWith("issue[") },
+      "missing quality-issue counts")
+    assert(metrics.exists { case (s, m) => s == "clusters" && m.startsWith("size[") },
+      "missing cluster-size histogram")
   }
 
   test("incremental append: affected slices only; outputs equal full recompute") {
@@ -92,6 +106,54 @@ class ResumeSpec extends AnyFunSuite {
       .select("stage", "skipped").as[(String, Boolean)].collect()
     assert(lineage2.contains(("features/1", true)))
     assert(lineage2.contains(("candidates/1", true)))
+  }
+
+  test("re-run of a partially-applied append still indexes new captions (suffix_keys)") {
+    import org.apache.spark.sql.functions._
+    val root = "target/resume-spec-crash"
+    deleteRec(Paths.get(root))
+    val all = Synth.corpus(spark, 480).toDF()
+    val cut = f"img-${400}%010d"
+    Dedup.runCheckpointed(spark, all.where(col("image_id") < cut), root, DedupConfig.default)
+    val neu = all.where(col("image_id") >= cut)
+    val first = Incremental.append(spark, root, neu, "1", DedupConfig.default)
+    val firstClusters = first.clusters.collect().map(_.toSeq).toSet
+    val suffixRows = Layout.partitionRows(root, "suffix_keys")("1")
+    assert(suffixRows > 0, "scenario needs new captions that enter the substring index")
+
+    // reconstruct the mid-epoch crash state a stream redelivery retries:
+    // features/rep_map/norm_map/banded committed, the suffix_keys slice and
+    // everything downstream of it not — exactly the state in which the new
+    // norms match THEMSELVES in the committed norm_map, so an
+    // unmatchedN-derived slice would re-commit suffix_keys/1 EMPTY
+    Seq("suffix_keys", "candidates", "verified")
+      .foreach(Layout.dropPartition(root, _, "batch", "1"))
+    Seq("clusters", "recurring", "decisions", "audit")
+      .foreach(Layout.invalidate(root, _))
+
+    val again = Incremental.append(spark, root, neu, "1", DedupConfig.default)
+    assert(Layout.partitionRows(root, "suffix_keys")("1") == suffixRows,
+      "re-run must re-commit the same non-empty suffix_keys slice")
+    assert(again.clusters.collect().map(_.toSeq).toSet == firstClusters)
+  }
+
+  test("checkpoint root as a file: URI routes through the Hadoop filesystem") {
+    import spark.implicits._
+    val local = Paths.get("target/resume-spec-uri").toAbsolutePath
+    deleteRec(local)
+    val root = s"file:$local"
+    val input = Synth.corpus(spark, 400).toDF()
+    val first = Dedup.runCheckpointed(spark, input, root, DedupConfig.default)
+    val clustersA = first.clusters.as[(String, String)].collect().toSet
+    assert(clustersA.nonEmpty)
+    assert(Layout.isComplete(root, "clusters"))
+    assert(Layout.manifestRows(root, "features") > 0)
+    // a second run against the URI root resumes (skips every stage)
+    val second = Dedup.runCheckpointed(spark, input, root, DedupConfig.default)
+    assert(second.clusters.as[(String, String)].collect().toSet == clustersA)
+    val lineage = spark.read.parquet(s"$root/_lineage")
+      .select("stage", "skipped").as[(String, Boolean)].collect()
+    assert(lineage.contains(("features", true)), "URI root must resume too")
   }
 
   test("killing a stage (deleting its checkpoint) recomputes only from there") {

@@ -77,4 +77,40 @@ class StreamingSpec extends AnyFunSuite {
       Files.exists(Paths.get(root, "features", "batch=s2")),
       "later arrivals must land as incremental batch partitions")
   }
+
+  test("bootstrap-epoch redelivery resumes the bootstrap, never double-appends") {
+    import spark.implicits._
+    import graft.tables.Layout
+    val root = "target/streaming-spec-redeliver"
+    val rootFull = "target/streaming-spec-redeliver-full"
+    Seq(root, rootFull).foreach(d => deleteRec(Paths.get(d)))
+    val all = Synth.corpus(spark, 240).toDF().cache()
+    val cut = f"img-${160}%010d"
+    val b0 = all.where(col("image_id") < cut)
+    val b1 = all.where(col("image_id") >= cut)
+
+    // crash state: _bootstrap_epoch durable, every bootstrap stage landed,
+    // but the _epoch_0 marker never committed — foreachBatch redelivers
+    // epoch 0 with the SAME rows
+    Layout.markerWrite(s"$root/_bootstrap_epoch", "0")
+    Dedup.runCheckpointed(spark, b0, root, DedupConfig.default)
+    assert(!Layout.markerExists(s"$root/_epoch_0"))
+
+    StreamingDedup.absorb(spark, b0, root, 0L, DedupConfig.default)
+    assert(Layout.markerExists(s"$root/_epoch_0"))
+    assert(!Layout.completePartitions(root, "features").contains("s0"),
+      "redelivered bootstrap rows must NOT be routed into Incremental.append")
+
+    StreamingDedup.absorb(spark, b1, root, 1L, DedupConfig.default)
+    val full = Dedup.runCheckpointed(spark, all, rootFull, DedupConfig.default)
+
+    val streamed = spark.read.parquet(s"$root/decisions")
+      .select("image_id", "decision").as[(String, String)].collect().toSet
+    val batch = full.decisions
+      .select("image_id", "decision").as[(String, String)].collect().toSet
+    assert(streamed == batch,
+      s"stream-only=${(streamed -- batch).take(5)} full-only=${(batch -- streamed).take(5)}")
+    val blockedRate = streamed.count(_._2 == "blocked").toDouble / streamed.size
+    assert(blockedRate < 0.5, "a double-applied bootstrap would flip most rows to blocked")
+  }
 }
