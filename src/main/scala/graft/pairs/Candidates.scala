@@ -93,14 +93,25 @@ object Candidates {
    * at 5M banded rows; this shape is 2 shuffles and ~1/10 the CPU. Group
    * size is bounded by 2·cap, so collect_list cannot OOM a reducer.
    *
-   * `banded` is evaluated twice (size agg + tagging); pass a persisted /
-   * checkpointed frame when its lineage is expensive to recompute.
+   * `banded` is consumed twice (size agg + tagging): callers whose band
+   * lineage is expensive to recompute (MinHash signatures, hyperplane
+   * sketches) persist it through the Caches registry first — measured, the
+   * uncached double-eval cost the pipeline ~55% wall. A checkpointed band
+   * index (the incremental layout's `banded` stage) serves the same role
+   * at cluster scale.
+   *
+   * `bigKeys`, when given, must hold (band, bkey, m) for AT LEAST every
+   * key with m > cap (keys with m <= cap are harmless: g collapses to 1).
+   * q21 passes its shingle-df aggregate so one pass serves both the
+   * boilerplate cap and the salt assignment.
    */
-  def saltedSelfJoin(banded: DataFrame, cap: Int): DataFrame = {
-    val big = banded
-      .groupBy(col("band"), col("bkey"))
-      .agg(count(lit(1)).as("m"))
-      .where(col("m") > cap)
+  def saltedSelfJoin(banded: DataFrame, cap: Int,
+      bigKeys: Option[DataFrame] = None): DataFrame = {
+    val big = bigKeys.getOrElse(
+      banded
+        .groupBy(col("band"), col("bkey"))
+        .agg(count(lit(1)).as("m"))
+        .where(col("m") > cap))
     val tagged = banded
       .join(broadcast(big), Seq("band", "bkey"), "left")
       .withColumn("g",
@@ -148,8 +159,11 @@ object Candidates {
   /** MinHash/LSH candidates over the exact-group representatives. */
   def minhashPairs(reps: DataFrame, cfg: DedupConfig): DataFrame =
     // no distinct here: the verifier's groupBy(src,dst) dedups all
-    // generators at once — a per-generator distinct is a wasted shuffle
-    saltedSelfJoin(minhashBanded(reps, cfg), cfg.bucketSizeCap)
+    // generators at once — a per-generator distinct is a wasted shuffle.
+    // persisted: the signature projection is the pipeline's hottest CPU
+    // and the salted join consumes the band table twice
+    saltedSelfJoin(graft.util.Caches.persist(minhashBanded(reps, cfg)),
+      cfg.bucketSizeCap)
       .withColumn("source", lit("minhash"))
 
   /** Per-phash representative map: (image_id, phash, prep). Persisted-free
@@ -175,7 +189,8 @@ object Candidates {
 
     val distinctPh = phRep.where(col("image_id") === col("prep"))
       .select(col("prep").as("id"), col("phash"))
-    val bandPairs = saltedSelfJoin(simhashBanded(distinctPh, cfg), cfg.bucketSizeCap)
+    val bandPairs = saltedSelfJoin(
+      graft.util.Caches.persist(simhashBanded(distinctPh, cfg)), cfg.bucketSizeCap)
 
     samePhash.union(bandPairs).withColumn("source", lit("simhash"))
   }

@@ -99,11 +99,13 @@ object DedupTwins {
     * the 32 effective bits (perfect recall for Hamming <= 4) through the
     * salted bucket join; exact bit_count(xor) verification. */
   def q27SimhashDocs(spark: SparkSession, dir: String): DataFrame = {
-    val s32 = docs(spark, dir)
+    // persisted: the md5 sketch is the CPU hot path and feeds the banding
+    // plus both verify joins
+    val s32 = graft.util.Caches.persist(docs(spark, dir)
       .select(col("doc_id"),
         SimHash.simhash64Col(transform(Documents.shingles3(col("text")), md5Lo64(_)))
           .bitwiseAND(lit(0xFFFFFFFFL)).as("sh"))
-      .where(col("sh").isNotNull)
+      .where(col("sh").isNotNull))
     val banded = s32.select(col("doc_id").as("id"),
       posexplode(SimHash.comboKeysCol(col("sh"), 8, 4, 32)).as(Seq("band", "bkey")))
     Candidates.saltedSelfJoin(banded, DedupConfig.default.bucketSizeCap)

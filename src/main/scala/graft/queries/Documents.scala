@@ -147,17 +147,22 @@ object Documents {
         .repartition(col("doc_id"))
         .select(col("doc_id"), explode(shingles3(col("text"))).as("s"))
         .select(col("doc_id"), xxhash64(col("s")).as("h")))
-    // the df cap is enforced by a partial-agg groupBy + a broadcast
-    // anti-join on the (tiny, ≤ rows/cap) over-cap key set — NOT a count
-    // window, which would co-locate every occurrence of the hottest
-    // boilerplate shingle on one task (the round-2 skew exposure)
-    val hot = sh.groupBy("h").agg(count(lit(1)).as("df"))
-      .where(col("df") > ShingleDfCap)
+    // ONE partial-agg df pass serves both caps — NOT a count window, which
+    // would co-locate every occurrence of the hottest boilerplate shingle
+    // on one task (the round-2 skew exposure): df > 256 keys are dropped
+    // by a broadcast anti-join (the semantic boilerplate cap, tiny set by
+    // construction), and 64 < df <= 256 keys feed the salted join's salt
+    // assignment directly (no second size aggregation inside)
+    val dfAgg = graft.util.Caches.persist(
+      sh.groupBy("h").agg(count(lit(1)).as("df")))
+    val hot = dfAgg.where(col("df") > ShingleDfCap)
     val keep = sh.join(broadcast(hot.select("h")), Seq("h"), "left_anti")
     val sizes = keep.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val banded = keep.select(col("doc_id").as("id"),
       lit(0).as("band"), col("h").as("bkey"))
-    val shared = graft.pairs.Candidates.saltedSelfJoin(banded, 64)
+    val bigKeys = dfAgg.where(col("df") > 64 && col("df") <= ShingleDfCap)
+      .select(lit(0).as("band"), col("h").as("bkey"), col("df").as("m"))
+    val shared = graft.pairs.Candidates.saltedSelfJoin(banded, 64, Some(bigKeys))
       .groupBy(col("src").as("da"), col("dst").as("db"))
       .agg(count(lit(1)).as("shared"))
     shared

@@ -52,10 +52,12 @@ object Engine {
       .select(col("doc_id").cast("string").as("id"),
         array_distinct(transform(Documents.shingles3(col("text")), x => xxhash64(x))).as("hashes"))
       .where(size(col("hashes")) > 0)
-    val banded = sh.select(col("id"),
+    // persisted: the sketch projection is the CPU hot path and the salted
+    // join consumes the band table twice
+    val banded = graft.util.Caches.persist(sh.select(col("id"),
       posexplode(MinHash.bandKeysCol(
         MinHash.signatureCol(col("hashes"), cfg.numHashes, cfg.hashSeed),
-        cfg.bands, cfg.hashSeed)).as(Seq("band", "bkey")))
+        cfg.bands, cfg.hashSeed)).as(Seq("band", "bkey"))))
     // ONE distinct, after the numeric re-order — a distinct before the
     // projection would be a second, redundant shuffle of the same pairs
     Candidates.saltedSelfJoin(banded, cfg.bucketSizeCap)
@@ -74,8 +76,8 @@ object Engine {
         SimHash.simhash64Col(
           array_distinct(transform(Documents.shingles3(col("text")), x => xxhash64(x)))).as("sh"))
       .where(col("sh").isNotNull)
-    val banded = sh.select(col("id"),
-      posexplode(SimHash.comboKeysCol(col("sh"), cfg.phashBands, cfg.phashAgree)).as(Seq("band", "bkey")))
+    val banded = graft.util.Caches.persist(sh.select(col("id"),
+      posexplode(SimHash.comboKeysCol(col("sh"), cfg.phashBands, cfg.phashAgree)).as(Seq("band", "bkey"))))
     val pairs = Candidates.saltedSelfJoin(banded, cfg.bucketSizeCap).distinct()
     pairs
       .join(sh.select(col("id").as("src"), col("sh").as("sha")), "src")
@@ -124,9 +126,11 @@ object Engine {
       when(d > 0, 1L << p).otherwise(0L)
     }.reduce(_ + _)
     // band the ID LIST only — vectors rejoin after pairing, so the salted
-    // shuffle moves (id, table, bucket) triples, not 64-double arrays
-    val banded = e.select(col("vec_id").as("id"),
-      posexplode(array((0 until tables).map(bits): _*)).as(Seq("band", "bkey")))
+    // shuffle moves (id, table, bucket) triples, not 64-double arrays;
+    // persisted because the hyperplane dot products are the CPU hot path
+    // and the salted join consumes the band table twice
+    val banded = graft.util.Caches.persist(e.select(col("vec_id").as("id"),
+      posexplode(array((0 until tables).map(bits): _*)).as(Seq("band", "bkey"))))
     val pairs = Candidates.saltedSelfJoin(banded, cfg.bucketSizeCap).distinct()
     val cand = pairs.select(col("src").as("qid"), col("dst").as("nid"))
       .union(pairs.select(col("dst").as("qid"), col("src").as("nid")))

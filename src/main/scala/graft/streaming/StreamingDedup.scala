@@ -88,9 +88,11 @@ object StreamingDedup {
       Incremental.append(spark, root, batch, s"s$epochId", cfg)
     }
     Layout.markerWrite(marker, "done")
-    // per-epoch cache hygiene: the global stages re-derived this epoch are
-    // superseded next epoch; without the release their disk-spilled blocks
-    // accumulate for the life of the stream
+    // per-epoch cache hygiene: the global stages re-derived this epoch and
+    // the operator-level persists (band cohorts etc.) are superseded next
+    // epoch; without the release their disk-spilled blocks accumulate for
+    // the life of the stream
     Layout.releaseCaches(root)
+    graft.util.Caches.releaseAll()
   }
 }

@@ -15,10 +15,6 @@ object ProfileCandidates {
     val spark = graft.util.Sessions.build("graft-profile", cpus)
     val cfg = DedupConfig.default
 
-    val feats = spark.read.parquet(args(0))
-    val clean = feats.where(!col("is_low_quality")).cache()
-    println(s"clean rows: ${clean.count()}")
-
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
@@ -26,12 +22,39 @@ object ProfileCandidates {
     }
 
     val only = sys.env.get("GRAFT_PROFILE_ONLY")
+    if (only.contains("pipeline")) {
+      // args(0) = a RAW corpus parquet (e.g. target/bench-corpus-100000)
+      val input = spark.read.parquet(args(0))
+      def clearAll(): Unit = {
+        graft.util.Caches.releaseAll(); spark.sqlContext.clearCache()
+      }
+      time("pipe-1") { Dedup.run(spark, input, cfg).clusters.count() }
+      clearAll()
+      time("pipe-2") { Dedup.run(spark, input, cfg).clusters.count() }
+      clearAll()
+      val timer = StageTimer.attach(spark) // attribution for run 3 only
+      time("pipe-3") { Dedup.run(spark, input, cfg).clusters.count() }
+      timer.report(20)
+      spark.stop(); return
+    }
+
+    val feats = spark.read.parquet(args(0))
+    val clean = feats.where(!col("is_low_quality")).cache()
+    println(s"clean rows: ${clean.count()}")
     if (only.contains("docs")) {
       val timer = StageTimer.attach(spark)
       time("mh-docs-1") { graft.queries.Engine.minhashCandidatesDocs(spark, "/root/testdata/sf0.1").count() }
       time("mh-docs-2") { graft.queries.Engine.minhashCandidatesDocs(spark, "/root/testdata/sf0.1").count() }
       time("mh-docs-3") { graft.queries.Engine.minhashCandidatesDocs(spark, "/root/testdata/sf0.1").count() }
       timer.report(10)
+      spark.stop(); return
+    }
+    if (only.contains("q21")) {
+      val timer = StageTimer.attach(spark)
+      time("q21-1") { graft.queries.Documents.q21NgramJaccard(spark, "/root/testdata/sf0.1").count() }
+      time("q21-2") { graft.queries.Documents.q21NgramJaccard(spark, "/root/testdata/sf0.1").count() }
+      time("q21-3") { graft.queries.Documents.q21NgramJaccard(spark, "/root/testdata/sf0.1").count() }
+      timer.report(14)
       spark.stop(); return
     }
     if (only.contains("union")) {

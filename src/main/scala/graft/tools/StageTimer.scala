@@ -14,7 +14,7 @@ class StageTimer extends SparkListener {
     val cpu = i.taskMetrics.executorCpuTime / 1000000L
     val run = i.taskMetrics.executorRunTime + i.taskMetrics.jvmGCTime * 0 // keep run pure
     val gc = i.taskMetrics.jvmGCTime
-    rows += ((i.stageId, s"gc=${gc}ms", wall, run, cpu,
+    rows += ((i.stageId, s"gc=${gc}ms ${i.name.take(70)}", wall, run, cpu,
       i.taskMetrics.shuffleWriteMetrics.bytesWritten))
   }
   def report(top: Int = 25): Unit = {
