@@ -30,9 +30,31 @@ import graft.sig.{Shingle, SimHash}
  */
 object PairVerifier {
 
+  /** Generator names in mask-bit order (sources arrays come out in this
+    * order, deterministically). */
+  private val SourceNames = Seq("exact", "minhash", "simhash", "substring")
+
   /** features must carry (image_id, norm, shingles, w, h, fmt, phash). */
   def verify(candidates: DataFrame, features: DataFrame, cfg: DedupConfig): DataFrame = {
-    val byPair = candidates.groupBy("src", "dst").agg(collect_set("source").as("sources"))
+    // dedup the generators' pair multiset with a BITMASK bit_or, not
+    // collect_set(string): collect_set forces ObjectHashAggregate (outside
+    // whole-stage codegen) and shuffles a string per candidate row — over
+    // the biggest table in the pipeline. The mask aggregate stays in
+    // codegen, partial-aggregates map-side, and decodes to the same
+    // array<string> after the shuffle.
+    val mask = SourceNames.zipWithIndex.foldLeft(lit(0L)) { case (acc, (n, i)) =>
+      acc + when(col("source") === n, lit(1L << i)).otherwise(0L)
+    }
+    val byPair = candidates
+      .select(col("src"), col("dst"), mask.as("src_mask"))
+      .groupBy("src", "dst").agg(expr("bit_or(src_mask)").as("src_mask"))
+      .withColumn("sources",
+        filter(
+          array(SourceNames.zipWithIndex.map { case (n, i) =>
+            when(col("src_mask").bitwiseAND(lit(1L << i)) =!= 0L, n)
+          }: _*),
+          x => x.isNotNull))
+      .drop("src_mask")
 
     def side(p: String): DataFrame = features.select(
       col("image_id").as(s"${p}_id"), col("norm").as(s"${p}_norm"),
