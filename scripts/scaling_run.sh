@@ -2,16 +2,35 @@
 # Interleaved median-of-3 measurement for the N=2 vs 4N=8 scaling pair.
 # Ambient load on this shared host swings single measurements ~2x, so each
 # round measures both configs back-to-back and the medians are compared.
+# Additionally, each measurement WAITS for a quiet window (1m loadavg below
+# threshold) first — a load spike mid-protocol otherwise poisons one side
+# of a pair and the ratio with it.
 set -euo pipefail
 ROWS="${1:-500000}"
+TH="${QUIET_THRESHOLD:-2.0}"
 cd "$(dirname "$0")/.."
 OUT=target/scaling-results.jsonl
 : > "$OUT"
+
+wait_quiet() {
+  for i in $(seq 1 60); do
+    L=$(cut -d' ' -f1 /proc/loadavg)
+    ok=$(python3 -c "print(1 if $L < $TH else 0)")
+    [ "$ok" = "1" ] && return 0
+    sleep 30
+  done
+  echo "WARN: no quiet window after 30min, measuring anyway (load=$(cut -d' ' -f1 /proc/loadavg))" >&2
+}
+
+sbt -batch "runMain graft.ScalingBench gen $ROWS" | grep "\[scaling\]" || true
+
 for round in 1 2 3; do
   for cores in 8 2; do
+    wait_quiet
+    L0=$(cut -d' ' -f1-3 /proc/loadavg)
     J=$(sbt -batch "runMain graft.ScalingBench measure $cores $ROWS" | grep -o '\[scaling-json\] .*' | sed 's/\[scaling-json\] //')
     echo "$J" >> "$OUT"
-    echo "round=$round $J"
+    echo "round=$round load_before=[$L0] $J"
   done
 done
 python3 - "$OUT" <<'PY'

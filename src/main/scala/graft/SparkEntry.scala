@@ -45,7 +45,9 @@ object SparkEntry {
     "q18_top_tokens" -> (Documents.q18TopTokens(_, _)),
     "q19_quality_flags" -> (Documents.q19QualityFlags(_, _)),
     "q20_lang_stopwords" -> (Documents.q20LangStopwords(_, _)),
-    "q21_ngram_jaccard" -> (Documents.q21NgramJaccard(_, _)),
+    // memoized: q21's pair set is shared by the q28-q37 decision family —
+    // one computation per driver run
+    "q21_ngram_jaccard" -> (DedupTwins.q21Pairs(_, _)),
     "q22_embed_norms" -> (Documents.q22EmbedNorms(_, _)),
     "q23_embed_topk" -> (Documents.q23EmbedTopk(_, _)),
     "q24_regex_tokens" -> (Documents.q24RegexTokens(_, _)),
