@@ -256,29 +256,45 @@ object Dedup {
       decis: DataFrame, lowQ: DataFrame, clusters: DataFrame): Unit = {
     val batchCol =
       if (decis.columns.contains("batch")) col("batch") else lit(BaseBatch)
-    val agg = decis
+    // ONE collect job for all three aggregate families (decision counts +
+    // timeline + score sums, issue counts, cluster-size histogram) — a
+    // long-format union; three separate collects were three driver syncs
+    def pad(df: DataFrame) = df
+      .withColumn("v2", lit(null).cast("double"))
+      .withColumn("v3", lit(null).cast("double"))
+    val decA = decis
       .groupBy(col("decision"), batchCol.cast("string").as("b"))
-      .agg(count(lit(1)).as("c"),
-        sum("best_score").as("s"), count("best_score").as("cs"))
-      .collect()
-    val decisionCounts = agg.groupBy(_.getString(0)).toSeq.map { case (d, rows) =>
-      ("decisions", d, rows.map(_.getLong(2)).sum.toDouble)
+      .agg(count(lit(1)).cast("double").as("v1"),
+        sum("best_score").as("v2"), count("best_score").cast("double").as("v3"))
+      .select(lit("dec").as("fam"), col("decision").as("k1"), col("b").as("k2"),
+        col("v1"), col("v2"), col("v3"))
+    val issA = pad(Metrics.issueCounts(lowQ)
+      .select(lit("issue").as("fam"), col("issue").as("k1"), lit("").as("k2"),
+        col("cnt").cast("double").as("v1")))
+    val histA = pad(Metrics.clusterSizeHistogram(clusters)
+      .select(lit("hist").as("fam"), col("members").cast("string").as("k1"),
+        lit("").as("k2"), col("clusters").cast("double").as("v1")))
+    val all = decA.unionByName(issA).unionByName(histA).collect()
+
+    val dec = all.filter(_.getString(0) == "dec")
+    val decisionCounts = dec.groupBy(_.getString(1)).toSeq.map { case (d, rows) =>
+      ("decisions", d, rows.map(_.getDouble(3)).sum)
     }
-    val timeline = agg.toSeq.map { r =>
-      ("decisions", s"${r.getString(0)}[batch=${r.getString(1)}]", r.getLong(2).toDouble)
+    val timeline = dec.toSeq.map { r =>
+      ("decisions", s"${r.getString(1)}[batch=${r.getString(2)}]", r.getDouble(3))
     }
-    val scoreN = agg.map(_.getLong(4)).sum
+    val scoreN = dec.map(r => if (r.isNullAt(5)) 0.0 else r.getDouble(5)).sum
     val avgScore =
       if (scoreN == 0) Nil
       else {
-        val s = agg.map(r => if (r.isNullAt(3)) 0.0 else r.getDouble(3)).sum
+        val s = dec.map(r => if (r.isNullAt(4)) 0.0 else r.getDouble(4)).sum
         Seq(("decisions", "average_match_score",
           math.round(s / scoreN * 10000.0) / 10000.0))
       }
-    val issueRows = Metrics.issueCounts(lowQ).collect()
-      .map(r => ("low_quality", s"issue[${r.getString(0)}]", r.getLong(1).toDouble)).toSeq
-    val histRows = Metrics.clusterSizeHistogram(clusters).collect()
-      .map(r => ("clusters", s"size[${r.getLong(0)}]", r.getLong(1).toDouble)).toSeq
+    val issueRows = all.filter(_.getString(0) == "issue").toSeq
+      .map(r => ("low_quality", s"issue[${r.getString(1)}]", r.getDouble(3)))
+    val histRows = all.filter(_.getString(0) == "hist").toSeq
+      .map(r => ("clusters", s"size[${r.getString(1)}]", r.getDouble(3)))
     Layout.appendMetrics(spark, root, Seq(
       ("candidates", "pairs", Layout.manifestRows(root, "candidates").toDouble),
       ("clusters", "rows", Layout.manifestRows(root, "clusters").toDouble)) ++

@@ -52,7 +52,11 @@ object ConnectedComponents {
 
     var iter = 0
     var converged = false
-    var prevSum = hashSum(labels)
+    // no pre-loop hashSum: iteration 1 always changes a label when any
+    // edge exists (initial labels are own ids, so the larger endpoint of
+    // some edge must drop), so the first comparison point is iteration 1's
+    // sum — one driver job and one sync fewer per run
+    var prevSum: java.math.BigDecimal = null
     while (iter < maxIter && !converged) {
       val msgs = sym.join(labels, sym("a") === labels("id"))
         .select(col("b").as("id"), col("label"))
@@ -61,7 +65,7 @@ object ConnectedComponents {
         .localCheckpoint(false)
       val nextSum = hashSum(next)
       labels = next
-      converged = nextSum.compareTo(prevSum) == 0
+      converged = prevSum != null && nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       iter += 1
     }

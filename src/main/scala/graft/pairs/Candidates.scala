@@ -69,60 +69,73 @@ object Candidates {
    *
    * Shape: bucket sizes come from a partial-agg `groupBy(band,bkey).count()`
    * — NOT a count window. A `count(*) OVER (PARTITION BY band,bkey)` would
-   * co-locate EVERY occurrence of the hottest key on one task *before* the
-   * salting it exists to enable; with map-side combine the groupBy reducer
-   * instead sees one pre-combined row per key per upstream partition. Only
-   * the OVERSIZED keys (m > cap) join back — via broadcast, so rows of a
-   * hot bucket get their salt group assigned map-side and never pass
-   * through an unsalted key-partitioned operator. The oversized-key set is
-   * small by construction (at most totalRows/cap distinct keys, in practice
-   * a handful of boilerplate keys; size `cap` so this stays broadcastable).
+   * co-locate EVERY occurrence of the hottest key on one task with no
+   * remedy (windows cannot split); the size tag-back here is an INNER
+   * shuffle join against the aggregated sizes, whose hot partitions AQE
+   * skew-join splits at runtime (the sizes side is one row per key and
+   * replicates across splits). The inner join doubles as the singleton
+   * filter: buckets of one row (the overwhelming majority under selective
+   * keys) never reach the grid shuffle or its per-group machinery —
+   * measured at 70M combo keys per 1M images, dropping them pre-grid is
+   * ~1,400 CPU-s of per-group aggregation overhead.
    *
-   * Each row then replicates to grid cells (g = ceil(m/cap) salt groups,
-   * g=1 for small buckets): (si=own salt, sj >= si) as 'l' and
-   * (si <= own salt, sj=own salt) as 'r'; ONE groupBy(band,key,si,sj)
-   * collects the cell and pair expansion happens in codegen'd array
-   * expressions: same-cell (si==sj) pairs i<j over the sorted 'l' list,
-   * cross-cell pairs l×r. Exactly the naive self-join's pair set (asserted
-   * in CandidatesSpec). Singleton buckets ride the grid shuffle as one row
-   * each and expand to nothing — the count needed to drop them earlier
-   * would itself require the hot-key join-back this shape avoids.
+   * Each surviving row replicates to grid cells (g = ceil(m/cap) salt
+   * groups, g=1 for small buckets): (si=own salt, sj >= si) as 'l' and
+   * (si < own salt, sj=own salt) as 'r' — the 'r' range is EXCLUSIVE of
+   * the own cell: self-cells pair from the sorted 'l' list alone, so the
+   * old inclusive right row was pure redundant traffic. ONE
+   * groupBy(band,key,si,sj) collects the cell and pair expansion happens
+   * in codegen'd array expressions: same-cell (si==sj) pairs i<j over the
+   * sorted 'l' list, cross-cell pairs l×r. Exactly the naive self-join's
+   * pair set (asserted in CandidatesSpec). Group size is bounded by 2·cap,
+   * so collect_list cannot OOM a reducer.
    *
-   * Why not a self-join: a join materializes and shuffles the banded table
-   * once per side per branch — measured 4 shuffles of 90MB and ~800 CPU-s
-   * at 5M banded rows; this shape is 2 shuffles and ~1/10 the CPU. Group
-   * size is bounded by 2·cap, so collect_list cannot OOM a reducer.
+   * Why not a plain self-join: it materializes and shuffles the banded
+   * table once per side per branch — measured 4 shuffles of 90MB and ~800
+   * CPU-s at 5M banded rows; this shape shuffles banded twice (size join +
+   * grid) at ~1/10 the CPU.
    *
    * `banded` is consumed twice (size agg + tagging): callers whose band
    * lineage is expensive to recompute (MinHash signatures, hyperplane
-   * sketches) persist it through the Caches registry first — measured, the
-   * uncached double-eval cost the pipeline ~55% wall. A checkpointed band
-   * index (the incremental layout's `banded` stage) serves the same role
-   * at cluster scale.
+   * sketches) persist the PRE-explode sketch through the Caches registry —
+   * caching the exploded rows themselves measured ~2x wall on low-core
+   * runs in columnar cache build alone. A checkpointed band index (the
+   * incremental layout's `banded` stage) serves the same role at cluster
+   * scale.
    *
-   * `bigKeys`, when given, must hold (band, bkey, m) for AT LEAST every
-   * key with m > cap (keys with m <= cap are harmless: g collapses to 1).
+   * `sizes`, when given, must hold (band, bkey, m) for AT LEAST every key
+   * with m >= 2 (extra keys are harmless — the join is inner on banded).
    * q21 passes its shingle-df aggregate so one pass serves both the
    * boilerplate cap and the salt assignment.
    */
   def saltedSelfJoin(banded: DataFrame, cap: Int,
-      bigKeys: Option[DataFrame] = None): DataFrame = {
-    val big = bigKeys.getOrElse(
+      sizes: Option[DataFrame] = None): DataFrame = {
+    val nonSingleton = sizes.getOrElse(
       banded
         .groupBy(col("band"), col("bkey"))
-        .agg(count(lit(1)).as("m"))
-        .where(col("m") > cap))
+        .agg(count(lit(1)).as("m")))
+      .where(col("m") >= 2)
+    // shuffle_hash hint: the size table scales with the key count — at
+    // corpus scale it must NEVER be broadcast (AQE's runtime conversion
+    // tried exactly that and blew driver.maxResultSize at 1M images); the
+    // agg output is already hash-partitioned on (band,bkey), so the join
+    // reuses its exchange and only `banded` shuffles
     val tagged = banded
-      .join(broadcast(big), Seq("band", "bkey"), "left")
+      .join(nonSingleton.hint("shuffle_hash"), Seq("band", "bkey"))
       .withColumn("g",
-        coalesce(ceil(col("m").cast("double") / cap).cast("int"), lit(1)))
+        when(col("m") <= cap, lit(1))
+          .otherwise(ceil(col("m").cast("double") / cap)).cast("int"))
       .withColumn("salt", pmod(xxhash64(col("id")), col("g")).cast("int"))
 
     val left = tagged.select(col("band"), col("bkey"), col("id"),
       col("salt").as("si"), explode(sequence(col("salt"), col("g") - 1)).as("sj"),
       lit("l").as("side"))
+    // guard: sequence(0, -1) would DESCEND, not be empty — salt-0 rows
+    // (every g=1 bucket) emit no 'r' rows at all
     val right = tagged.select(col("band"), col("bkey"), col("id"),
-      explode(sequence(lit(0), col("salt"))).as("si"), col("salt").as("sj"),
+      explode(when(col("salt") > 0, sequence(lit(0), col("salt") - 1))
+        .otherwise(array().cast("array<int>"))).as("si"),
+      col("salt").as("sj"),
       lit("r").as("side"))
 
     val cells = left.unionByName(right)
@@ -147,23 +160,29 @@ object Candidates {
 
   /** MinHash band-key projection of the reps: (id, band, bkey) — the LSH
     * index. Persisted as the `banded` stage so an incremental batch joins
-    * its new keys against the index instead of re-sketching everything. */
+    * its new keys against the index instead of re-sketching everything.
+    *
+    * The PRE-explode sketch (one band-key array per rep) is persisted, not
+    * the exploded table: the signature computation above it is the
+    * pipeline's hottest CPU and must run once (the salted join consumes
+    * the band table twice), while the explode itself is trivial to
+    * recompute — and caching the exploded rows (bands × reps of them)
+    * measured ~2x wall on low-core runs purely in columnar cache build. */
   def minhashBanded(reps: DataFrame, cfg: DedupConfig): DataFrame =
-    reps
-      .where(col("shingles").isNotNull && size(col("shingles")) > 0)
-      .select(col("image_id").as("id"),
-        posexplode(MinHash.bandKeysCol(
-          MinHash.signatureCol(col("shingles"), cfg.numHashes, cfg.hashSeed),
-          cfg.bands, cfg.hashSeed)).as(Seq("band", "bkey")))
+    graft.util.Caches.persist(
+      reps
+        .where(col("shingles").isNotNull && size(col("shingles")) > 0)
+        .select(col("image_id").as("id"),
+          MinHash.bandKeysCol(
+            MinHash.signatureCol(col("shingles"), cfg.numHashes, cfg.hashSeed),
+            cfg.bands, cfg.hashSeed).as("bks")))
+      .select(col("id"), posexplode(col("bks")).as(Seq("band", "bkey")))
 
   /** MinHash/LSH candidates over the exact-group representatives. */
   def minhashPairs(reps: DataFrame, cfg: DedupConfig): DataFrame =
     // no distinct here: the verifier's groupBy(src,dst) dedups all
-    // generators at once — a per-generator distinct is a wasted shuffle.
-    // persisted: the signature projection is the pipeline's hottest CPU
-    // and the salted join consumes the band table twice
-    saltedSelfJoin(graft.util.Caches.persist(minhashBanded(reps, cfg)),
-      cfg.bucketSizeCap)
+    // generators at once — a per-generator distinct is a wasted shuffle
+    saltedSelfJoin(minhashBanded(reps, cfg), cfg.bucketSizeCap)
       .withColumn("source", lit("minhash"))
 
   /** Per-phash representative map: (image_id, phash, prep). Persisted-free
@@ -187,10 +206,14 @@ object Candidates {
     val samePhash = phRep.where(col("image_id") =!= col("prep"))
       .select(col("prep").as("src"), col("image_id").as("dst"))
 
-    val distinctPh = phRep.where(col("image_id") === col("prep"))
-      .select(col("prep").as("id"), col("phash"))
-    val bandPairs = saltedSelfJoin(
-      graft.util.Caches.persist(simhashBanded(distinctPh, cfg)), cfg.bucketSizeCap)
+    // persist the DISTINCT PHASH list (small), not the exploded combo-key
+    // table (70 keys per phash — a columnar cache build of that explosion
+    // measured ~2x wall on low-core runs); the combo keys are cheap bit
+    // slices recomputed on each of the salted join's two passes
+    val distinctPh = graft.util.Caches.persist(
+      phRep.where(col("image_id") === col("prep"))
+        .select(col("prep").as("id"), col("phash")))
+    val bandPairs = saltedSelfJoin(simhashBanded(distinctPh, cfg), cfg.bucketSizeCap)
 
     samePhash.union(bandPairs).withColumn("source", lit("simhash"))
   }

@@ -160,9 +160,11 @@ object Documents {
     val sizes = keep.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val banded = keep.select(col("doc_id").as("id"),
       lit(0).as("band"), col("h").as("bkey"))
-    val bigKeys = dfAgg.where(col("df") > 64 && col("df") <= ShingleDfCap)
+    // the FULL size table (keys above the boilerplate cap are absent from
+    // `banded`, so their size rows simply never match the inner join)
+    val dfSizes = dfAgg
       .select(lit(0).as("band"), col("h").as("bkey"), col("df").as("m"))
-    val shared = graft.pairs.Candidates.saltedSelfJoin(banded, 64, Some(bigKeys))
+    val shared = graft.pairs.Candidates.saltedSelfJoin(banded, 64, Some(dfSizes))
       .groupBy(col("src").as("da"), col("dst").as("db"))
       .agg(count(lit(1)).as("shared"))
     shared

@@ -52,12 +52,13 @@ object Engine {
       .select(col("doc_id").cast("string").as("id"),
         array_distinct(transform(Documents.shingles3(col("text")), x => xxhash64(x))).as("hashes"))
       .where(size(col("hashes")) > 0)
-    // persisted: the sketch projection is the CPU hot path and the salted
-    // join consumes the band table twice
+    // persisted PRE-explode: the sketch is the CPU hot path and the salted
+    // join consumes the band table twice; the explode recomputes cheaply
     val banded = graft.util.Caches.persist(sh.select(col("id"),
-      posexplode(MinHash.bandKeysCol(
+      MinHash.bandKeysCol(
         MinHash.signatureCol(col("hashes"), cfg.numHashes, cfg.hashSeed),
-        cfg.bands, cfg.hashSeed)).as(Seq("band", "bkey"))))
+        cfg.bands, cfg.hashSeed).as("bks")))
+      .select(col("id"), posexplode(col("bks")).as(Seq("band", "bkey")))
     // ONE distinct, after the numeric re-order — a distinct before the
     // projection would be a second, redundant shuffle of the same pairs
     Candidates.saltedSelfJoin(banded, cfg.bucketSizeCap)
@@ -70,14 +71,16 @@ object Engine {
     * combo-key banding, Hamming <= cfg.maxHamming verification. */
   def simhashDocs(spark: SparkSession, dir: String): DataFrame = {
     val cfg = DedupConfig.default
-    val sh = t(spark, dir, "documents")
+    // persisted: the shingle+sketch projection feeds the banding AND both
+    // verify joins; the combo-key explode recomputes cheaply from it
+    val sh = graft.util.Caches.persist(t(spark, dir, "documents")
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id").cast("string").as("id"),
         SimHash.simhash64Col(
           array_distinct(transform(Documents.shingles3(col("text")), x => xxhash64(x)))).as("sh"))
-      .where(col("sh").isNotNull)
-    val banded = graft.util.Caches.persist(sh.select(col("id"),
-      posexplode(SimHash.comboKeysCol(col("sh"), cfg.phashBands, cfg.phashAgree)).as(Seq("band", "bkey"))))
+      .where(col("sh").isNotNull))
+    val banded = sh.select(col("id"),
+      posexplode(SimHash.comboKeysCol(col("sh"), cfg.phashBands, cfg.phashAgree)).as(Seq("band", "bkey")))
     val pairs = Candidates.saltedSelfJoin(banded, cfg.bucketSizeCap).distinct()
     pairs
       .join(sh.select(col("id").as("src"), col("sh").as("sha")), "src")
@@ -127,10 +130,11 @@ object Engine {
     }.reduce(_ + _)
     // band the ID LIST only — vectors rejoin after pairing, so the salted
     // shuffle moves (id, table, bucket) triples, not 64-double arrays;
-    // persisted because the hyperplane dot products are the CPU hot path
-    // and the salted join consumes the band table twice
+    // the PRE-explode table-key arrays persist (hyperplane dot products
+    // are the CPU hot path; the salted join reads the band table twice)
     val banded = graft.util.Caches.persist(e.select(col("vec_id").as("id"),
-      posexplode(array((0 until tables).map(bits): _*)).as(Seq("band", "bkey"))))
+      array((0 until tables).map(bits): _*).as("ks")))
+      .select(col("id"), posexplode(col("ks")).as(Seq("band", "bkey")))
     val pairs = Candidates.saltedSelfJoin(banded, cfg.bucketSizeCap).distinct()
     val cand = pairs.select(col("src").as("qid"), col("dst").as("nid"))
       .union(pairs.select(col("dst").as("qid"), col("src").as("nid")))

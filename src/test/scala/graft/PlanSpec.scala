@@ -57,17 +57,18 @@ class PlanSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     import graft.pairs.Candidates
     // A count(*) OVER (PARTITION BY key) would co-locate every occurrence
-    // of the hottest key on one task before salting — the round-2 skew
-    // exposure. The salted join's size tagging must be an aggregate +
-    // broadcast join-back, so its plan contains NO Window operator, and
-    // the oversized-key join-back must be a broadcast join.
+    // of the hottest key on one task with no remedy (windows cannot be
+    // split) — the round-2 skew exposure. The salted join's size tagging
+    // must be a partial-agg + join-back (AQE skew-join can split a hot
+    // join partition at runtime), so its plan contains NO Window operator
+    // and carries the singleton filter (m >= 2) that keeps one-row buckets
+    // out of the grid shuffle.
     import spark.implicits._
     val banded = (0 until 1000).map(i => (f"id$i%04d", i % 3, (i % 7).toLong))
       .toDF("id", "band", "bkey")
     val p = plan(Candidates.saltedSelfJoin(banded, 8))
     assert(!p.contains("Window"), s"no window in the salted join:\n${p.take(1200)}")
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
-      s"oversized-key set must broadcast:\n${p.take(1200)}")
+    assert(p.contains(">= 2"), s"singleton buckets must be filtered pre-grid:\n${p.take(1200)}")
 
     val q21 = plan(graft.queries.Documents.q21NgramJaccard(spark, dir))
     assert(!q21.contains("Window"), "no df count window in q21")
