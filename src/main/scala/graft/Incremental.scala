@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -122,10 +121,12 @@ object Incremental {
     // stream the big rep table, broadcast the new keys — no corpus shuffle
     val matched = oldGroupReps.join(broadcast(newKeyed), keyCols)
       .select((Seq("image_id") ++ keyCols :+ "rep").map(col): _*)
-    val unmatched = newKeyed
-      .join(broadcast(matched.select("image_id")), Seq("image_id"), "left_anti")
-      .withColumn("rep", min(col("image_id")).over(
-        Window.partitionBy(keyCols.map(col): _*)))
+    // repTag, not a min-over-window: batch-bounded here, but the batch can
+    // itself carry a hot caption — and the candidate machinery is asserted
+    // Window-free end to end (PlanSpec)
+    val unmatched = Candidates.repTag(
+      newKeyed.join(broadcast(matched.select("image_id")), Seq("image_id"), "left_anti"),
+      keyCols, "image_id", "rep")
     val repNew = matched.unionByName(unmatched).withColumn("batch", lit(batch))
     Layout.runStagePartition(spark, root, "rep_map", batchCol, batch)(repNew)
 
@@ -135,9 +136,9 @@ object Incremental {
       .where(col("image_id") === col("nrep")).select("norm", "nrep")
     val matchedN = oldNormReps.join(broadcast(newNorms), Seq("norm"))
       .select("image_id", "norm", "nrep")
-    val unmatchedN = newNorms
-      .join(broadcast(matchedN.select("image_id")), Seq("image_id"), "left_anti")
-      .withColumn("nrep", min(col("image_id")).over(Window.partitionBy(col("norm"))))
+    val unmatchedN = Candidates.repTag(
+      newNorms.join(broadcast(matchedN.select("image_id")), Seq("image_id"), "left_anti"),
+      Seq("norm"), "image_id", "nrep")
     val normNew = matchedN.unionByName(unmatchedN).withColumn("batch", lit(batch))
     Layout.runStagePartition(spark, root, "norm_map", batchCol, batch)(normNew)
     val normMapAll = Layout.read(spark, root, "norm_map")

@@ -1,6 +1,5 @@
 package graft.pairs
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.DataFrame
 
@@ -33,26 +32,51 @@ import graft.sig.{MinHash, Shingle, SimHash, SuffixDup}
  */
 object Candidates {
 
-  /** Exact-feature representative map (image_id → rep = min image_id of the
-    * identical-feature group), computed over a PROJECTION of the key
-    * columns only — the window shuffles ~80B/row instead of the full
-    * feature row with its shingle array (measured 462MB vs ~80MB at 500k
-    * rows, and the full-width window ran twice for its two consumers).
-    * Grouping is on the RAW columns, not a 64-bit hash of them: at 10^12
-    * rows a 64-bit key expects ~50k collisions (n²/2^65), each of which
-    * would silently merge unrelated rows into one exact group. Spark
-    * compares full values within the hash-partitioned window, so this is
-    * collision-free. */
   /** The exact-group key columns. */
   val ExactKeyCols: Seq[String] = Seq("norm", "w", "h", "fmt", "phash")
 
+  /**
+   * Min-id representative tagging: `groupBy(keys).agg(min(id))` + null-safe
+   * join back on the keys — NEVER `min(id) OVER (PARTITION BY keys)`.
+   *
+   * The window form co-locates EVERY row of the hottest group on one task
+   * with no remedy (windows cannot be split), and the rep maps sit exactly
+   * where real corpora are most skewed: a boilerplate caption shared by 10⁹
+   * rows would serialize the whole pipeline behind one reducer. The
+   * groupBy's partial aggregation combines map-side (one row per group
+   * reaches the reducers), and the join-back is an INNER shuffle join whose
+   * hot probe partitions AQE skew-join splits at runtime — the reps side is
+   * one row per group and replicates across splits. `shuffle_hash` pins the
+   * reps side as the build side; it must never broadcast (group count scales
+   * with the corpus — distinct captions at 10^12 rows).
+   *
+   * The join is null-safe (`<=>`) to preserve the window's null semantics
+   * (null keys group together); for nullable key columns this re-wraps the
+   * join keys, costing one extra exchange of the one-row-per-group side.
+   *
+   * Grouping is on the RAW columns, not a 64-bit hash of them: at 10^12
+   * rows a 64-bit key expects ~50k collisions (n²/2^65), each of which
+   * would silently merge unrelated rows into one group.
+   */
+  def repTag(df: DataFrame, keys: Seq[String], idCol: String, repName: String): DataFrame = {
+    // reps-side keys renamed before the join: both sides share lineage (a
+    // self-derived aggregate), and attribute-bound refs would be ambiguous
+    val reps = df.groupBy(keys.map(col): _*).agg(min(col(idCol)).as(repName))
+      .select(keys.map(k => col(k).as(s"__rk_$k")) :+ col(repName): _*)
+    val cond = keys.map(k => col(k) <=> col(s"__rk_$k")).reduce(_ && _)
+    df.join(reps.hint("shuffle_hash"), cond)
+      .select(df.columns.toIndexedSeq.map(col) :+ col(repName): _*)
+  }
+
   /** Rep map WITH the key columns kept — persisted as the `rep_map` stage so
     * an incremental batch can match new rows to existing groups without
-    * re-windowing the full table. */
+    * re-deriving the full table. Computed over a PROJECTION of the key
+    * columns only — the shuffle carries ~80B/row instead of the full
+    * feature row with its shingle array (measured 462MB vs ~80MB at 500k
+    * rows). */
   def exactRepMapFull(features: DataFrame): DataFrame =
-    features.select((Seq("image_id") ++ ExactKeyCols).map(col): _*)
-      .withColumn("rep", min(col("image_id")).over(
-        Window.partitionBy(ExactKeyCols.map(col): _*)))
+    repTag(features.select((Seq("image_id") ++ ExactKeyCols).map(col): _*),
+      ExactKeyCols, "image_id", "rep")
 
   def exactRepMap(features: DataFrame): DataFrame =
     exactRepMapFull(features).select(col("image_id"), col("rep"))
@@ -186,10 +210,10 @@ object Candidates {
       .withColumn("source", lit("minhash"))
 
   /** Per-phash representative map: (image_id, phash, prep). Persisted-free
-    * helper — the incremental path rebuilds only affected slices of it. */
+    * helper — the incremental path rebuilds only affected slices of it.
+    * Window-free (see `repTag`): identical images are the canonical hot key. */
   def phashRepMap(clean: DataFrame): DataFrame =
-    clean.select(col("image_id"), col("phash"))
-      .withColumn("prep", min(col("image_id")).over(Window.partitionBy(col("phash"))))
+    repTag(clean.select(col("image_id"), col("phash")), Seq("phash"), "image_id", "prep")
 
   /** SimHash combo-key projection of distinct phashes: (id, band, bkey). */
   def simhashBanded(distinctPh: DataFrame, cfg: DedupConfig): DataFrame =
@@ -219,10 +243,10 @@ object Candidates {
   }
 
   /** Per-norm representative map: (image_id, norm, nrep). Persisted as the
-    * `norm_map` stage for the incremental path. */
+    * `norm_map` stage for the incremental path. Window-free (see `repTag`):
+    * boilerplate captions are the canonical hot key. */
   def normMap(clean: DataFrame): DataFrame =
-    clean.select(col("image_id"), col("norm"))
-      .withColumn("nrep", min(col("image_id")).over(Window.partitionBy(col("norm"))))
+    repTag(clean.select(col("image_id"), col("norm")), Seq("norm"), "image_id", "nrep")
 
   /** Expand norm-rep containment pairs (src=contained rep, dst=container
     * rep) to member-level candidate pairs via the norm map. */

@@ -35,15 +35,6 @@ import org.apache.spark.sql.{Column, GraftBridge}
  */
 object SimHash {
 
-  /** array<long> of `bands` bit-slices of the phash, low band first. */
-  def phashBandsCol(phash: Column, bands: Int): Column = {
-    val width = 64 / bands
-    val mask = if (width == 64) -1L else (1L << width) - 1L
-    array((0 until bands).map { b =>
-      shiftright(phash, b * width).bitwiseAND(lit(mask))
-    }: _*)
-  }
-
   def phashBands(phash: Long, bands: Int): Array[Long] = {
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1L
