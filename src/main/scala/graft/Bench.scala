@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 
 import graft.config.DedupConfig
 import graft.gen.Synth
@@ -14,12 +14,39 @@ import graft.queries.Engine
  * The dedup pipeline is benchmarked against a PRE-MATERIALIZED parquet
  * corpus (generation cost measured separately as `corpus_gen`) so
  * `images_per_sec` reflects engine throughput, not the synthetic generator.
+ *
+ * Load self-identification: this box's ambient load swings 1→36 and wall
+ * times with it ~3x (round-3's driver bench recorded 102.7 s for a 28.9 s
+ * build). The JSON line therefore carries /proc/loadavg at start and end —
+ * a poisoned run is detectable from the artifact alone — and, unless
+ * disabled (GRAFT_QUIET_MAX=0), the bench first waits up to
+ * GRAFT_QUIET_TIMEOUT_SEC (default 300) for 1-min load <= GRAFT_QUIET_MAX
+ * (default 4.0), then measures regardless, recording how long it waited.
  */
 object Bench {
+
+  private def loadavg1: Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  /** Wait for a quiet window; returns seconds waited. */
+  private def waitQuiet(maxLoad: Double, timeoutSec: Int): Double = {
+    if (maxLoad <= 0) return 0.0
+    val t0 = System.nanoTime()
+    while (loadavg1 > maxLoad && (System.nanoTime() - t0) / 1e9 < timeoutSec) {
+      System.err.println(f"[bench] waiting for load ${loadavg1}%.1f <= $maxLoad%.1f")
+      Thread.sleep(15000)
+    }
+    (System.nanoTime() - t0) / 1e9
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val quietMax = sys.env.getOrElse("GRAFT_QUIET_MAX", "4.0").toDouble
+    val quietTimeout = sys.env.getOrElse("GRAFT_QUIET_TIMEOUT_SEC", "300").toInt
+    val quietWaitSec = waitQuiet(quietMax, quietTimeout)
+    val loadStart = loadavg1
     val spark = graft.util.Sessions.build("graft-bench", cpus)
 
     def time[A](f: => A): (A, Double) = {
@@ -43,10 +70,14 @@ object Bench {
     // Steady-state throughput is the operationally meaningful number for a
     // long-lived cluster job, so each headline plan and the pipeline are
     // exercised once on the smallest table set before timing begins.
-    val warmDir = "/root/testdata/sf0.001"
-    headline.foreach { name => SparkEntry.queries(name)(spark, warmDir).count() }
-    graft.util.Caches.releaseAll()
-    spark.sqlContext.clearCache()
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if (new java.io.File(warmDir).isDirectory) {
+      headline.foreach { name => SparkEntry.queries(name)(spark, warmDir).count() }
+      graft.util.Caches.releaseAll()
+      spark.sqlContext.clearCache()
+    } else {
+      System.err.println(s"[bench] warm dir $warmDir absent — skipping warm pass (cold JIT)")
+    }
 
     headline.foreach { name =>
       val fn = SparkEntry.queries(name)
@@ -77,10 +108,37 @@ object Bench {
     }
     results("pipeline_dedup") = pipeSec
 
+    // incremental/streaming path (the reference's actual request-driven
+    // shape): bootstrap 90% of the corpus checkpointed, then absorb 10
+    // batches of 1% each through Incremental.append — per-epoch latency is
+    // what a continuously-fed deployment pays per arrival wave, vs the
+    // full-recompute `pipeline_dedup` above
+    val incRoot = s"target/bench-incr-$n"
+    org.apache.hadoop.fs.FileSystem.getLocal(new org.apache.hadoop.conf.Configuration())
+      .delete(new org.apache.hadoop.fs.Path(incRoot), true)
+    val cut = n * 9 / 10
+    val (_, bootSec) = time {
+      Dedup.runCheckpointed(spark,
+        input.where(col("image_id") < f"img-$cut%010d"), incRoot, DedupConfig.default)
+    }
+    results("incremental_bootstrap") = bootSec
+    val epochRows = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val epochSecs = (0 until 10).map { i =>
+      val lo = cut + i * (n - cut) / 10
+      val hi = if (i == 9) n else cut + (i + 1) * (n - cut) / 10
+      val batch = input.where(col("image_id") >= f"img-$lo%010d" &&
+        col("image_id") < f"img-$hi%010d")
+      epochRows += (hi - lo)
+      time(Incremental.append(spark, incRoot, batch, s"s$i", DedupConfig.default))._2
+    }
+    val epochMedian = epochSecs.sorted.apply(epochSecs.size / 2)
+    results("incremental_epoch_sec") = epochMedian
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = f"${results.values.sum}%.3f"
     val ips = f"${n / pipeSec}%.1f"
+    val incIps = f"${epochRows.sum / epochSecs.sum}%.1f"
     // per-query latency percentiles (reference harness shape,
     // benchmarks/run_benchmarks.py:72-98): exact linear interpolation,
     // same definition as q33 / DuckDB quantile_cont
@@ -91,7 +149,9 @@ object Bench {
       lo + (hi - lo) * (pos - pos.floor)
     }
     val pcts = f""""query_sec_p50":${pct(0.5)}%.3f,"query_sec_p95":${pct(0.95)}%.3f,"query_sec_p99":${pct(0.99)}%.3f"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$pcts,"sf":"$sfDir","pipeline_rows":$n,"pipeline_clusters":$clusters,"images_per_sec":$ips}""")
+    val loadEnd = loadavg1
+    val loadF = f""""load_start":$loadStart%.2f,"load_end":$loadEnd%.2f,"quiet_wait_sec":$quietWaitSec%.1f"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$pcts,"sf":"$sfDir","pipeline_rows":$n,"pipeline_clusters":$clusters,"images_per_sec":$ips,"incremental_rows_per_sec":$incIps,$loadF}""")
     spark.stop()
   }
 }

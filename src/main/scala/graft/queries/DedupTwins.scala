@@ -45,12 +45,20 @@ object DedupTwins {
   /** The decision-family twins (q28–q32, q36, q37) all stand on q21's pair
     * set and its CC closure; one driver run computes each ONCE per table
     * directory and the rest reuse the persisted frame (round-2 verdict:
-    * every twin recomputed the full q21+CC stack from scratch). */
+    * every twin recomputed the full q21+CC stack from scratch).
+    *
+    * Keyed by a stable per-session UUID (identityHashCode of a GC'd session
+    * can collide with a new one) and cleared whenever Caches releases — a
+    * memoized frame outliving its persist would silently recompute, and an
+    * unbounded memo pins DataFrames (and dead sessions) for the JVM life. */
   private val memo = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  // clear on GLOBAL release only: a stream epoch's release(root) must not
+  // drop interactive memos whose frames live in the global scope
+  graft.util.Caches.onRelease(t => if (t.isEmpty) memo.clear())
 
   private def memoized(spark: SparkSession, dir: String, key: String)(
       f: => DataFrame): DataFrame =
-    memo.getOrElseUpdate(s"${System.identityHashCode(spark)}:$dir:$key",
+    memo.getOrElseUpdate(s"${graft.util.Caches.sessionId(spark)}:$dir:$key",
       graft.util.Caches.persist(f))
 
   /** q21's exact-Jaccard pair set, computed once per (session, dir). */

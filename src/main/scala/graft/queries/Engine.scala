@@ -152,8 +152,24 @@ object Engine {
 
   // ---- full pipeline over the synthetic image+caption corpus -------------
 
-  private def runPipeline(spark: SparkSession, dir: String) =
-    graft.Dedup.run(spark, Synth.corpus(spark, synthRows(dir)).toDF(), DedupConfig.default)
+  /** ONE `Dedup.run` per (session, dir): the six `pipeline_*` driver queries
+    * are views of the same DedupResult, and recomputing the pipeline per
+    * query made a correctness dump six times more expensive than the engine
+    * (round-3 verdict #5). Cleared with the Caches registry — same contract
+    * as the DedupTwins memo. Clusters and decisions are persisted because
+    * every family member joins through one or both; features and verified
+    * are already persisted inside `Dedup.run`. */
+  private val pipelineMemo =
+    scala.collection.concurrent.TrieMap.empty[String, graft.DedupResult]
+  graft.util.Caches.onRelease(t => if (t.isEmpty) pipelineMemo.clear())
+
+  private def runPipeline(spark: SparkSession, dir: String): graft.DedupResult =
+    pipelineMemo.getOrElseUpdate(s"${graft.util.Caches.sessionId(spark)}:$dir", {
+      val r = graft.Dedup.run(spark, Synth.corpus(spark, synthRows(dir)).toDF(),
+        DedupConfig.default)
+      r.copy(clusters = graft.util.Caches.persist(r.clusters),
+        decisions = graft.util.Caches.persist(r.decisions))
+    })
 
   def pipelineClusters(spark: SparkSession, dir: String): DataFrame =
     runPipeline(spark, dir).clusters

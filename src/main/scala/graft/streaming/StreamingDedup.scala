@@ -79,20 +79,29 @@ object StreamingDedup {
     val marker = s"$root/_epoch_$epochId"
     if (Layout.markerExists(marker) || batch.isEmpty) return
     val bootPath = s"$root/_bootstrap_epoch"
-    val bootEpoch = Layout.markerRead(bootPath).map(_.trim.toLong)
-    if (bootEpoch.contains(epochId) ||
-        (bootEpoch.isEmpty && !Layout.isComplete(root, "features"))) {
+    val raw = Layout.markerRead(bootPath)
+    val bootEpoch = raw.flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+    // an unparsable marker means the bootstrap epoch crashed mid-write
+    // (pre-atomic roots, or a store without atomic rename): treat it as
+    // bootstrap-in-progress so the redelivered epoch routes back through
+    // runCheckpointed (which resumes stage-by-stage) instead of wedging
+    // every redelivery on a parse error
+    val bootInProgress = raw.nonEmpty && bootEpoch.isEmpty
+    if (bootEpoch.contains(epochId) || bootInProgress ||
+        (raw.isEmpty && !Layout.isComplete(root, "features"))) {
       if (bootEpoch.isEmpty) Layout.markerWrite(bootPath, epochId.toString)
-      Dedup.runCheckpointed(spark, batch, root, cfg)
+      graft.util.Caches.scoped(root) { Dedup.runCheckpointed(spark, batch, root, cfg) }
     } else {
-      Incremental.append(spark, root, batch, s"s$epochId", cfg)
+      graft.util.Caches.scoped(root) { Incremental.append(spark, root, batch, s"s$epochId", cfg) }
     }
     Layout.markerWrite(marker, "done")
     // per-epoch cache hygiene: the global stages re-derived this epoch and
     // the operator-level persists (band cohorts etc.) are superseded next
     // epoch; without the release their disk-spilled blocks accumulate for
-    // the life of the stream
+    // the life of the stream. Scoped to THIS stream's frames — a global
+    // release would unpersist concurrent work's caches (another stream,
+    // interactive memoized twins in the same JVM)
     Layout.releaseCaches(root)
-    graft.util.Caches.releaseAll()
+    graft.util.Caches.release(root)
   }
 }

@@ -64,11 +64,27 @@ object Layout {
     }
   }
 
-  /** Overwrite-create (parents included — Hadoop create semantics). */
+  /** Atomic overwrite: write a sibling temp file, then rename into place.
+    * A direct overwrite-create truncates first — a crash mid-write leaves a
+    * corrupt marker/manifest that wedges exactly the crash-recovery path
+    * these files exist for (a truncated `_MANIFEST.json` loses the
+    * partition-rows map; a truncated `_bootstrap_epoch` wedges redelivered
+    * epochs). Rename is atomic on HDFS and local; when it won't overwrite
+    * (HDFS with an existing destination) the delete+rename fallback's crash
+    * window leaves the destination ABSENT — read as "incomplete", the safe
+    * direction. On stores without atomic rename (s3a) this degrades to the
+    * narrower copy window. */
   def markerWrite(path: String, content: String): Unit = {
     val p = new Path(path)
-    val out = fsFor(p).create(p, true)
+    val fs = fsFor(p)
+    val tmp = new Path(path + ".tmp")
+    val out = fs.create(tmp, true)
     try out.write(content.getBytes(UTF_8)) finally out.close()
+    if (!fs.rename(tmp, p)) {
+      fs.delete(p, false)
+      if (!fs.rename(tmp, p))
+        throw new java.io.IOException(s"atomic marker rename failed: $tmp -> $p")
+    }
   }
 
   def markerDelete(path: String): Unit = {
