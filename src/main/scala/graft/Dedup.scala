@@ -74,14 +74,15 @@ object Dedup {
       cfg: DedupConfig): DataFrame = {
     // a row's decision is driven by its best match among EARLIER rows
     // (src < dst lexicographically = arrival order), mirroring the
-    // reference's incoming-vs-prior semantics.
-    val byDst = Window.partitionBy(col("dst"))
-      .orderBy(col("match_score").desc, col("src").asc)
+    // reference's incoming-vs-prior semantics. Best-of-group is a partial
+    // aggregate, not a rank-1 window: min over struct(-score, src) orders
+    // by score DESC then src ASC — same tie-break, but map-side combined,
+    // so a dst with millions of edges never lands whole on one task.
     val best = edges
-      .withColumn("rn", row_number().over(byDst))
-      .where(col("rn") === 1)
-      .select(col("dst").as("image_id"), col("src").as("best_match_id"),
-        col("match_score").as("best_score"))
+      .groupBy(col("dst"))
+      .agg(min(struct((-col("match_score")).as("ns"), col("src").as("s"))).as("b"))
+      .select(col("dst").as("image_id"), col("b.s").as("best_match_id"),
+        (-col("b.ns")).as("best_score"))
     clean.select("image_id")
       .join(best, Seq("image_id"), "left")
       .join(clusters, Seq("image_id"), "left")
@@ -99,21 +100,38 @@ object Dedup {
    * (`similarity_engine.py:235-321`), and the Recurring tag joined back onto
    * member rows (`duplicate_detector.py:315-347`).
    *
-   * One window shuffle on dst; the groupBy that follows reuses the window's
-   * hash partitioning, so best + top-k come out of a single exchange.
+   * Hot-dst guard: a dst's verified-pair count is NOT bounded by the
+   * generators (a container caption's rep collects one pair per member of
+   * every contained caption; a rep in a hot band bucket collects one per
+   * bucket mate per band), so a single rank window on dst would co-locate
+   * an unbounded hot partition. The ranking is therefore two-phase salted
+   * top-k: phase 1 ranks within (dst, salt-of-src) — any hot dst splits
+   * across `DecisionSalts` tasks — and keeps k per cell; phase 2 ranks the
+   * survivors, whose per-dst input is now <= k * DecisionSalts rows
+   * (any global top-k row is a local top-k row of its cell, so the prune
+   * is lossless). The phase-2 window's hash partitioning is reused by the
+   * groupBy that follows, so best + top-k still come out of one exchange.
    * top_matches draws on ALL verified pairs (>= prefilter), not just edges —
    * the reference returns sub-threshold candidates for review too; the
    * DECISION itself is unaffected (non-edge pairs score < flagThreshold by
    * construction).
    */
+  val DecisionSalts = 64
+
   def decisionsEnriched(clean: DataFrame, verified: DataFrame, clusters: DataFrame,
       recurring: DataFrame, cfg: DedupConfig): DataFrame = {
-    val byDst = Window.partitionBy(col("dst"))
-      .orderBy(col("match_score").desc, col("src").asc)
+    val k = math.max(cfg.topK, 1)
+    val order = Seq(col("match_score").desc, col("src").asc)
+    val localW = Window.partitionBy(col("dst"), col("__salt")).orderBy(order: _*)
+    val byDst = Window.partitionBy(col("dst")).orderBy(order: _*)
     val ranked = verified
       .select("src", "dst", "match_score", "matching_fields", "differing_fields", "confidence")
+      .withColumn("__salt", pmod(xxhash64(col("src")), lit(DecisionSalts)).cast("int"))
+      .withColumn("__lrn", row_number().over(localW))
+      .where(col("__lrn") <= k)
+      .drop("__salt", "__lrn")
       .withColumn("rn", row_number().over(byDst))
-      .where(col("rn") <= math.max(cfg.topK, 1))
+      .where(col("rn") <= k)
     val perRow = ranked.groupBy(col("dst").as("image_id")).agg(
       max(when(col("rn") === 1, struct(
         col("src").as("best_match_id"), col("match_score").as("best_score"),
@@ -175,6 +193,7 @@ object Dedup {
     val clean = feats.where(!col("is_low_quality"))
     val lowQ = feats.where(col("is_low_quality"))
       .select("image_id", "caption", "issues", "quality_score", "quality_severity")
+      .withColumn("status", lit(graft.qa.Qa.Pending))
 
     val cands = candidates(clean, cfg)
     val verified = PairVerifier.verify(cands, clean, cfg)
@@ -218,13 +237,19 @@ object Dedup {
     val clean = feats.where(!col("is_low_quality"))
     val lowQ = Layout.runStage(spark, root, "low_quality", batchCol, base)(
       feats.where(col("is_low_quality"))
-        .select("image_id", "caption", "issues", "quality_score", "quality_severity", "batch"))
+        .select("image_id", "caption", "issues", "quality_score", "quality_severity", "batch")
+        // triage status (reference schema.sql:78-85) — flipped by Qa.approve
+        // and Qa.reject through Layout.mergeStage
+        .withColumn("status", lit(graft.qa.Qa.Pending)))
 
     val cands = Layout.runStage(spark, root, "candidates", batchCol, base)(
       candidates(clean, cfg).withColumn("batch", lit(BaseBatch)))
     val verified = Layout.runStage(spark, root, "verified", batchCol, base)(
       PairVerifier.verify(cands, clean, cfg).withColumn("batch", lit(BaseBatch)))
-    val edges = verified.where(col("is_edge")).select("src", "dst", "match_score")
+    // QA overrides (force-link/split) apply at every edge derivation so a
+    // human decision survives re-runs — see graft.qa.Qa
+    val edges = graft.qa.Qa.applyOverrides(spark, root,
+      verified.where(col("is_edge")).select("src", "dst", "match_score"))
 
     val clusters = Layout.runStage(spark, root, "clusters")(
       ConnectedComponents.run(

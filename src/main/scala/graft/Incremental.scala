@@ -110,7 +110,8 @@ object Incremental {
     val cleanNew = clean.where(col("batch") === batch)
     Layout.runStagePartition(spark, root, "low_quality", batchCol, batch)(
       feats.where(col("is_low_quality") && col("batch") === batch)
-        .select("image_id", "caption", "issues", "quality_score", "quality_severity", "batch"))
+        .select("image_id", "caption", "issues", "quality_score", "quality_severity", "batch")
+        .withColumn("status", lit(graft.qa.Qa.Pending)))
 
     // ---- 2. exact groups: match new rows to existing reps -----------------
     val keyCols = Candidates.ExactKeyCols
@@ -259,7 +260,8 @@ object Incremental {
 
     // ---- 7. global stages re-derived over the full edge set ---------------
     Seq("clusters", "recurring", "decisions", "audit").foreach(Layout.invalidate(root, _))
-    val edges = verifiedAll.where(col("is_edge")).select("src", "dst", "match_score")
+    val edges = graft.qa.Qa.applyOverrides(spark, root,
+      verifiedAll.where(col("is_edge")).select("src", "dst", "match_score"))
     val clusters = Layout.runStage(spark, root, "clusters")(
       ConnectedComponents.run(
         clean.select(col("image_id").as("id")), edges, cfg.maxCcIterations)

@@ -203,6 +203,63 @@ object Layout {
   def read(spark: SparkSession, root: String, stage: String): DataFrame =
     spark.read.parquet(s"$root/$stage")
 
+  /**
+   * MERGE-matched-update on a partitioned stage — the Iceberg `MERGE INTO
+   * ... WHEN MATCHED THEN UPDATE` analog this facade fronts (the reference's
+   * QA mutations flip row status / rewrite parent ids in place:
+   * `app/api/qa_interface.py:56-294`, `migrations/schema.sql:78-85`).
+   *
+   * `updates` carries the key columns plus the columns to set; rows of the
+   * stage matching an update row (equi-join on `keyCols`) get those columns
+   * replaced (NULL in an update sets NULL — matching is by an explicit flag,
+   * not coalesce). Copy-on-write at PARTITION granularity: only partitions
+   * containing a matched key are rewritten (to a temp sibling, then swapped
+   * in — Spark cannot overwrite a path it is reading); untouched partitions'
+   * files are not rewritten, not even touched. Row counts per partition are
+   * unchanged by construction (update-only), so the manifest stays valid.
+   *
+   * `updates` is QA-scale (human actions) and is broadcast; the stage side
+   * only ever scans. Returns the number of matched (updated) rows.
+   */
+  def mergeStage(spark: SparkSession, root: String, stage: String,
+      keyCols: Seq[String], partitionBy: String = "batch")(updates: DataFrame): Long = {
+    val dir = s"$root/$stage"
+    val cur = read(spark, root, stage)
+    val keys = updates.select(keyCols.map(org.apache.spark.sql.functions.col): _*).distinct()
+    import org.apache.spark.sql.functions._
+    val matchedRows = cur.join(broadcast(keys), keyCols)
+    val affected = matchedRows
+      .select(col(partitionBy).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    if (affected.isEmpty) return 0L
+    val matched = matchedRows.count()
+
+    val setCols = updates.columns.filterNot(keyCols.contains).filterNot(_ == partitionBy)
+    val upd = updates.select(
+      keyCols.map(col) ++ setCols.map(c => col(c).as(s"__u_$c")) :+ lit(true).as("__m"): _*)
+    val slice = cur.where(col(partitionBy).cast("string").isin(affected.toSeq: _*))
+    val outCols = cur.columns.toIndexedSeq.map { c =>
+      if (setCols.contains(c)) when(col("__m"), col(s"__u_$c")).otherwise(col(c)).as(c)
+      else col(c)
+    }
+    val tmp = s"$root/_merge_tmp_$stage"
+    slice.join(broadcast(upd), keyCols, "left").select(outCols: _*)
+      .write.mode(SaveMode.Overwrite).partitionBy(partitionBy).parquet(tmp)
+
+    val fs = fsFor(new Path(dir))
+    affected.foreach { p =>
+      val live = new Path(s"$dir/$partitionBy=$p")
+      val fresh = new Path(s"$tmp/$partitionBy=$p")
+      fs.delete(live, true)
+      if (!fs.rename(fresh, live))
+        throw new java.io.IOException(s"merge swap failed: $fresh -> $live")
+    }
+    fs.delete(new Path(tmp), true)
+    // a cached handle for this stage now reads superseded blocks
+    synchronized(cachedStages.remove((root, stage))).foreach(_.unpersist(false))
+    matched
+  }
+
   /** Drop a stage's manifest so the next runStage recomputes it (the
     * Overwrite write replaces the data files), and release the stage's
     * cached handle — in a long-running stream each epoch re-derives the

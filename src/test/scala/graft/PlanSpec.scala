@@ -103,12 +103,14 @@ class PlanSpec extends AnyFunSuite {
       s"candidate machinery must be window-free end to end:\n${cands.take(1500)}")
   }
 
-  test("decisions top-1 uses a single window pass, no extra shuffle of the base") {
+  test("decisions top-k is two-phase salted: no unbounded per-dst window input") {
     val corpusPath = "target/planspec-corpus"
     val input = spark.read.parquet(corpusPath)
     val r = Dedup.run(spark, input, DedupConfig.default)
     val p = plan(r.decisions.where(col("decision") =!= "none"))
-    // sanity: a window + joins, and still no bytes scan
+    // phase 1 must rank within (dst, salt) — a hot dst splits across salts
+    // and the phase-2 window sees <= k * DecisionSalts rows per dst
+    assert(p.contains("__salt"), p.take(800))
     assert(p.contains("Window"), p.take(400))
     assert(!p.contains("bytes"))
   }

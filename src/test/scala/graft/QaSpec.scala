@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config.DedupConfig
+import graft.gen.Synth
+import graft.qa.Qa
+import graft.tables.Layout
+
+/**
+ * QA mutation surface (reference `app/api/qa_interface.py`): row-level
+ * MERGE through the Layout facade (approve/reject the low-quality queue)
+ * and force-link/force-split override edges into connected components.
+ */
+class QaSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val cfg = DedupConfig.default
+
+  private def deleteRec(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+
+  /** (name -> (size, mtime, first/last bytes)) for every file in a dir tree —
+    * byte-identity evidence without hashing libraries. */
+  private def snapshot(dir: String): Map[String, (Long, Long)] =
+    Files.walk(Paths.get(dir)).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .map(p => p.toString -> (Files.size(p), Files.getLastModifiedTime(p).toMillis))
+      .toMap
+
+  test("approve/reclassify: partition-scoped MERGE + override edges into CC") {
+    import spark.implicits._
+    val root = "target/qa-spec-root"
+    deleteRec(Paths.get(root))
+    val all = Synth.corpus(spark, 800).toDF().cache()
+    val cut = f"img-${600}%010d"
+    Dedup.runCheckpointed(spark, all.where(col("image_id") < cut), root, cfg)
+    Incremental.append(spark, root, all.where(col("image_id") >= cut), "s1", cfg)
+
+    def clustersOf = spark.read.parquet(s"$root/clusters")
+      .as[(String, String)].collect().toMap
+
+    // -- approve a quarantined batch-0 row into the corpus ------------------
+    val lqIds = spark.read.parquet(s"$root/low_quality")
+      .where(col("batch") === "0").select("image_id").as[String].collect().sorted
+    assert(lqIds.nonEmpty, "corpus must plant low-quality rows in batch 0")
+    val lq = lqIds.head
+    assert(!clustersOf.contains(lq), "quarantined row must not be clustered yet")
+
+    val untouchedFeat = snapshot(s"$root/features/batch=s1")
+    val untouchedLowQ = snapshot(s"$root/low_quality/batch=s1")
+
+    Qa.approve(spark, root, Seq(lq), cfg)
+
+    val status = spark.read.parquet(s"$root/low_quality")
+      .where(col("image_id") === lq).select("status").as[String].head()
+    assert(status == Qa.Approved)
+    val c1 = clustersOf
+    assert(c1.contains(lq), "approved row must join the cluster space")
+    val dec = spark.read.parquet(s"$root/decisions")
+      .where(col("image_id") === lq).select("decision").as[String].head()
+    assert(dec == "new", "no candidates were generated for it: decision=new singleton")
+    // copy-on-write: the untouched batch partitions are bit-for-bit the same
+    // files (same names, sizes, mtimes — not rewritten, not even touched)
+    assert(snapshot(s"$root/features/batch=s1") == untouchedFeat)
+    assert(snapshot(s"$root/low_quality/batch=s1") == untouchedLowQ)
+
+    // -- force-split a measured edge whose cluster has exactly 2 members ----
+    val sizes = c1.groupBy(_._2).view.mapValues(_.size).toMap
+    val edges = spark.read.parquet(s"$root/verified").where(col("is_edge"))
+      .select("src", "dst").as[(String, String)].collect()
+    val (es, ed) = edges.find { case (s, d) =>
+      c1.get(s).exists(cid => sizes(cid) == 2) && c1.get(s) == c1.get(d)
+    }.getOrElse(fail("need a 2-member cluster edge"))
+
+    Qa.reclassify(spark, root, es, ed, "split", cfg)
+    val c2 = clustersOf
+    assert(c2(es) != c2(ed), "force-split must separate a pair whose only link it was")
+
+    // -- force-link two unrelated singletons --------------------------------
+    val singles = c2.toSeq.groupBy(_._2).filter(_._2.size == 1)
+      .keys.toSeq.sorted.take(2)
+    val Seq(sa, sb) = singles.map(cid => c2.find(_._2 == cid).get._1)
+    Qa.reclassify(spark, root, sa, sb, "link", cfg)
+    val c3 = clustersOf
+    assert(c3(sa) == c3(sb), "force-link must merge the pair's clusters")
+    assert(c3(es) != c3(ed), "earlier split override still applies")
+
+    // -- overrides survive a later incremental append -----------------------
+    val more = Synth.corpus(spark, 900).toDF()
+      .where(col("image_id") >= f"img-${800}%010d")
+    Incremental.append(spark, root, more, "s2", cfg)
+    val c4 = clustersOf
+    assert(c4(sa) == c4(sb), "link override must survive the append's re-derivation")
+    assert(c4(es) != c4(ed), "split override must survive the append's re-derivation")
+  }
+}
