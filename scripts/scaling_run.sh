@@ -13,9 +13,14 @@ OUT=target/scaling-results.jsonl
 : > "$OUT"
 
 wait_quiet() {
+  # Quiet = loadavg below threshold OR CPU pressure-stall near zero.
+  # This box's loadavg counts D-state (IO-blocked) kernel tasks and has been
+  # observed at 18 with 97% CPU idle — PSI (avg60 some-CPU) is the signal
+  # that actually predicts measurement interference.
   for i in $(seq 1 60); do
     L=$(cut -d' ' -f1 /proc/loadavg)
-    ok=$(python3 -c "print(1 if $L < $TH else 0)")
+    P=$(awk -F'avg60=' 'NR==1{split($2,a," ");print a[1]}' /proc/pressure/cpu 2>/dev/null || echo 100)
+    ok=$(python3 -c "print(1 if $L < $TH or $P < 5.0 else 0)")
     [ "$ok" = "1" ] && return 0
     sleep 30
   done

@@ -182,6 +182,28 @@ object Dedup {
         .otherwise(lit(s"new: no prior match >= ${cfg.flagThreshold}"))
         .as("reasoning"))
 
+  /**
+   * Append-only per-event duplicate history (reference `duplicate_history`,
+   * `migrations/schema.sql:95-119`: match_method, was_blocked, detected_at —
+   * a queryable event log SEPARATE from the audit table): one row per
+   * non-new decision EVENT, written once per batch and never rewritten.
+   * Append-only is consistent here because arrival order makes edges point
+   * old→new (src < dst): a later batch can never change an earlier row's
+   * best match, so an event, once recorded, is final. `batch` is the
+   * schema's time axis; `detected_at` stamps processing wall-clock.
+   */
+  def duplicateHistory(decis: DataFrame, verified: DataFrame): DataFrame = {
+    val method = verified.select(col("src").as("best_match_id"), col("dst").as("image_id"),
+      array_join(col("sources"), "+").as("match_method"))
+    val batchCol =
+      if (decis.columns.contains("batch")) col("batch") else lit(BaseBatch).as("batch")
+    decis.where(col("decision") =!= "new")
+      .select(col("image_id"), col("best_match_id"), col("best_score"),
+        (col("decision") === "blocked").as("was_blocked"), batchCol)
+      .join(method, Seq("image_id", "best_match_id"), "left")
+      .withColumn("detected_at", current_timestamp())
+  }
+
   def recurring(clusters: DataFrame, cfg: DedupConfig): DataFrame =
     clusters.groupBy("cluster_id").agg(count(lit(1)).as("members"))
       .where(col("members") >= cfg.recurringMinDuplicates + 1)
@@ -260,6 +282,8 @@ object Dedup {
     val decis = Layout.runStage(spark, root, "decisions")(
       decisionsEnriched(clean, verified, clusters, recur, cfg))
     val audit = Layout.runStage(spark, root, "audit")(auditLog(decis, cfg))
+    Layout.runStage(spark, root, "duplicate_history", batchCol, base)(
+      duplicateHistory(decis, verified))
 
     writeRunMetrics(spark, root, decis, lowQ, clusters)
     DedupResult(clean, lowQ, cands, verified, clusters, decis, recur, audit)

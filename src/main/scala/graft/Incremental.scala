@@ -271,6 +271,10 @@ object Incremental {
     val decis = Layout.runStage(spark, root, "decisions")(
       Dedup.decisionsEnriched(clean, verifiedAll, clusters, recur, cfg))
     val audit = Layout.runStage(spark, root, "audit")(Dedup.auditLog(decis, cfg))
+    // event log: only THIS batch's events append (old rows' best matches
+    // are stable — edges point old→new), never a rewrite
+    Layout.runStagePartition(spark, root, "duplicate_history", batchCol, batch)(
+      Dedup.duplicateHistory(decis.where(col("batch") === batch), verifiedAll))
 
     val lowQ = Layout.read(spark, root, "low_quality")
     Dedup.writeRunMetrics(spark, root, decis, lowQ, clusters)

@@ -77,6 +77,7 @@ object SparkEntry {
     "pipeline_low_quality" -> (Engine.pipelineLowQuality(_, _)),
     "pipeline_cluster_stats" -> (Engine.pipelineClusterStats(_, _)),
     "pipeline_audit" -> (Engine.pipelineAudit(_, _)),
+    "pipeline_history" -> (Engine.pipelineHistory(_, _)),
     "image_features" -> (Engine.imageFeatures(_, _)),
     "exact_dedup_corpus" -> (Engine.exactDedupCorpus(_, _)),
     "substring_pairs_corpus" -> (Engine.substringPairsCorpus(_, _))

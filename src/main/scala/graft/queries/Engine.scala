@@ -31,6 +31,14 @@ object Engine {
 
   private def toks(c: Column): Column = filter(split(c, " "), x => length(x) > 0)
 
+  /** Sketch persists are measurable (ProfileCandidates `sketch` harness
+    * A/Bs persist vs recompute with GRAFT_NO_SKETCH_PERSIST): the pre-
+    * explode sketch feeds the salted join's two passes (+ verify joins for
+    * simhash), so by default it persists. */
+  private def maybePersist(df: DataFrame): DataFrame =
+    if (sys.env.contains("GRAFT_NO_SKETCH_PERSIST")) df
+    else graft.util.Caches.persist(df)
+
   /** Corpus size for pipeline queries: scale factor drives row count
     * (sf0.001 → 1k, sf0.01 → 10k, sf0.1 → 100k). */
   def synthRows(dir: String): Long = {
@@ -73,7 +81,7 @@ object Engine {
     val cfg = DedupConfig.default
     // persisted: the shingle+sketch projection feeds the banding AND both
     // verify joins; the combo-key explode recomputes cheaply from it
-    val sh = graft.util.Caches.persist(t(spark, dir, "documents")
+    val sh = maybePersist(t(spark, dir, "documents")
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id").cast("string").as("id"),
         SimHash.simhash64Col(
@@ -132,7 +140,7 @@ object Engine {
     // shuffle moves (id, table, bucket) triples, not 64-double arrays;
     // the PRE-explode table-key arrays persist (hyperplane dot products
     // are the CPU hot path; the salted join reads the band table twice)
-    val banded = graft.util.Caches.persist(e.select(col("vec_id").as("id"),
+    val banded = maybePersist(e.select(col("vec_id").as("id"),
       array((0 until tables).map(bits): _*).as("ks")))
       .select(col("id"), posexplode(col("ks")).as(Seq("band", "bkey")))
     val pairs = Candidates.saltedSelfJoin(banded, cfg.bucketSizeCap).distinct()
@@ -197,6 +205,13 @@ object Engine {
 
   def pipelineClusterStats(spark: SparkSession, dir: String): DataFrame =
     graft.metrics.Metrics.clusterSizeHistogram(runPipeline(spark, dir).clusters)
+
+  /** The duplicate_history event log over the corpus (detected_at dropped —
+    * the driver dump must be deterministic). */
+  def pipelineHistory(spark: SparkSession, dir: String): DataFrame = {
+    val r = runPipeline(spark, dir)
+    graft.Dedup.duplicateHistory(r.decisions, r.verified).drop("detected_at")
+  }
 
   /** Multimodal feature extraction: decode the binary image column
     * (javax.imageio — a real decode, not a stub) per partition, emit typed

@@ -22,6 +22,33 @@ object ProfileCandidates {
     }
 
     val only = sys.env.get("GRAFT_PROFILE_ONLY")
+    if (only.contains("sketch")) {
+      // persist-vs-recompute attribution for the sketch caches: run with
+      // and without GRAFT_NO_SKETCH_PERSIST (fresh JVM each) and compare
+      // reps 2-3 (rep 1 pays codegen). args(0) = table dir (e.g. sf0.1).
+      val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+      val tag = if (sys.env.contains("GRAFT_NO_SKETCH_PERSIST")) "nopersist" else "persist"
+      def run3(name: String)(f: => Long): Unit = (1 to 3).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"[sketch] $tag $name rep$i rows=$n%8d  ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+        graft.util.Caches.releaseAll(); spark.sqlContext.clearCache()
+      }
+      run3("simhash") { graft.queries.Engine.simhashDocs(spark, dir).count() }
+      run3("ann") { graft.queries.Engine.annLshTopk(spark, dir).count() }
+      if (sys.env.contains("GRAFT_STAGE_TIMER")) {
+        val timer = StageTimer.attach(spark)
+        println("[sketch] --- simhash stage breakdown (timed rep) ---")
+        graft.queries.Engine.simhashDocs(spark, dir).count()
+        timer.report(12)
+        graft.util.Caches.releaseAll(); spark.sqlContext.clearCache()
+        timer.rows.clear()
+        println("[sketch] --- ann stage breakdown (timed rep) ---")
+        graft.queries.Engine.annLshTopk(spark, dir).count()
+        timer.report(12)
+      }
+      spark.stop(); return
+    }
     if (only.contains("pipeline")) {
       // args(0) = a RAW corpus parquet (e.g. target/bench-corpus-100000)
       val input = spark.read.parquet(args(0))

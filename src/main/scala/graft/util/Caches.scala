@@ -39,11 +39,17 @@ object Caches {
   /** Run `f` with persists registered under `token` (thread-scoped). */
   def scoped[A](token: String)(f: => A): A = owner.withValue(token)(f)
 
+  /** Kill-switch for perf attribution (ProfileCandidates/ScalingBench A/B):
+    * with GRAFT_NO_SKETCH_PERSIST set, operator-level persists become
+    * no-ops and every consumer recomputes its input lineage. */
+  private val disabled = sys.env.contains("GRAFT_NO_SKETCH_PERSIST")
+
   /** Persist `df` (idempotent per frame) and remember it under the current
     * scope's owner for release. */
   def persist(df: DataFrame,
-      level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
-    synchronized {
+      level: StorageLevel = StorageLevel.MEMORY_AND_DISK_SER): DataFrame =
+    if (disabled) df
+    else synchronized {
       registry.getOrElseUpdate(owner.value, mutable.ArrayBuffer.empty) += df.persist(level)
       df
     }

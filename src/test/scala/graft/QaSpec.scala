@@ -44,6 +44,17 @@ class QaSpec extends AnyFunSuite {
     def clustersOf = spark.read.parquet(s"$root/clusters")
       .as[(String, String)].collect().toMap
 
+    // duplicate_history: append-only event log, one row per non-new
+    // decision event, batch-partitioned, with the match method recorded
+    val hist = spark.read.parquet(s"$root/duplicate_history")
+    val decNonNew = spark.read.parquet(s"$root/decisions")
+      .where(col("decision") =!= "new")
+    assert(hist.count() == decNonNew.count())
+    assert(hist.where(col("batch") === "s1").count() > 0,
+      "the incremental batch must append its own events")
+    assert(hist.where(col("was_blocked") && col("match_method").isNull).count() == 0,
+      "blocked events must carry their match method")
+
     // -- approve a quarantined batch-0 row into the corpus ------------------
     val lqIds = spark.read.parquet(s"$root/low_quality")
       .where(col("batch") === "0").select("image_id").as[String].collect().sorted
