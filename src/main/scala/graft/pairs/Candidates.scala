@@ -162,24 +162,17 @@ object Candidates {
       col("salt").as("sj"),
       lit("r").as("side"))
 
-    val cells = left.unionByName(right)
+    // pair emission is a custom streaming Generator (see CellPairs): the
+    // HOF construction it replaces (nested transform + when + flatten +
+    // filter + sort_array) was the hottest stage of the 1M pipeline —
+    // k^2 struct allocations per self cell with half built only to be
+    // nulled out, plus a per-cell sort the pair set never needed
+    left.unionByName(right)
       .groupBy(col("band"), col("bkey"), col("si"), col("sj"))
       .agg(
-        sort_array(collect_list(when(col("side") === "l", col("id")))).as("ls"),
-        sort_array(collect_list(when(col("side") === "r", col("id")))).as("rs"))
-
-    val idx = sequence(lit(1), size(col("ls")))
-    val selfPairs = filter(
-      flatten(transform(idx, i => transform(idx, j =>
-        when(i < j, struct(element_at(col("ls"), i).as("src"),
-          element_at(col("ls"), j).as("dst")))))),
-      p => p.isNotNull)
-    val crossPairs = flatten(transform(col("ls"), a => transform(col("rs"), b =>
-      struct(least(a, b).as("src"), greatest(a, b).as("dst")))))
-
-    cells
-      .select(explode(when(col("si") === col("sj"), selfPairs).otherwise(crossPairs)).as("p"))
-      .select(col("p.src").as("src"), col("p.dst").as("dst"))
+        collect_list(when(col("side") === "l", col("id"))).as("ls"),
+        collect_list(when(col("side") === "r", col("id"))).as("rs"))
+      .select(CellPairs.col(col("ls"), col("rs"), col("si") === col("sj")))
   }
 
   /** MinHash band-key projection of the reps: (id, band, bkey) — the LSH

@@ -291,16 +291,30 @@ object Layout {
    * consumers, not for intra-run data flow (round-1's write→read-back
    * round-trips were a measured chunk of the fixed per-run cost).
    */
+  /** Tag all jobs of `f` (including AQE materialization jobs, which capture
+    * the submitting thread's local properties) with a stage label — this is
+    * what makes `tools.StageTimer` attribution readable. */
+  private def described[A](spark: SparkSession, label: String)(f: => A): A = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(label)
+    try f finally sc.setJobDescription(prev)
+  }
+
   def runStage(spark: SparkSession, root: String, stage: String,
       partitionBy: Seq[String] = Nil,
       partitionValue: Option[String] = None)(compute: => DataFrame): DataFrame = {
     if (!isComplete(root, stage)) {
       val t0 = System.nanoTime()
-      val df = compute.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      synchronized {
-        cachedStages.put((root, stage), df).foreach(_.unpersist(false))
+      val (df, rows) = described(spark, s"graft:$stage") {
+        // evaluated inside the description scope: eager work in the stage
+        // closure (e.g. the CC iteration jobs) must carry the label too
+        val d = compute.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        synchronized {
+          cachedStages.put((root, stage), d).foreach(_.unpersist(false))
+        }
+        (d, write(d, root, stage, partitionBy, partitionValue))
       }
-      val rows = write(df, root, stage, partitionBy, partitionValue)
       bufferLineage(root, stage, rows, (System.nanoTime() - t0) / 1e9, skipped = false)
       df
     } else {
@@ -315,7 +329,9 @@ object Layout {
       partitionBy: Seq[String], partition: String)(compute: => DataFrame): DataFrame = {
     if (!completePartitions(root, stage).contains(partition)) {
       val t0 = System.nanoTime()
-      val rows = appendPartition(compute, root, stage, partitionBy, partition)
+      val rows = described(spark, s"graft:$stage/$partition") {
+        appendPartition(compute, root, stage, partitionBy, partition)
+      }
       bufferLineage(root, s"$stage/$partition", rows, (System.nanoTime() - t0) / 1e9,
         skipped = false)
     } else {

@@ -49,6 +49,35 @@ object ProfileCandidates {
       }
       spark.stop(); return
     }
+    if (only.contains("epoch")) {
+      // incremental-epoch attribution: bootstrap most of the corpus, run two
+      // warm epochs (codegen + page cache), then a timed epoch with the
+      // stage listener attached. args(0) = a RAW corpus parquet.
+      val input = spark.read.parquet(args(0)).orderBy("image_id")
+      val n = input.count()
+      val root = java.nio.file.Files.createTempDirectory("graft-epoch-prof").toString
+      val cut = (n * 94 / 100).toInt
+      time("bootstrap") {
+        Dedup.runCheckpointed(spark,
+          input.limit(cut), root, cfg).clusters.count()
+      }
+      val ids = input.select("image_id").orderBy("image_id")
+        .collect().map(_.getString(0))
+      def slice(i: Int) = {
+        val lo = cut + (i - 1) * (n - cut).toInt / 3
+        val hi = cut + i * (n - cut).toInt / 3
+        input.where(col("image_id") >= ids(lo) &&
+          (if (hi >= n) lit(true) else col("image_id") < ids(hi.toInt)))
+      }
+      time("epoch-warm1") { graft.Incremental.append(spark, root, slice(1), "p1", cfg).decisions.count() }
+      time("epoch-warm2") { graft.Incremental.append(spark, root, slice(2), "p2", cfg).decisions.count() }
+      val timer = StageTimer.attach(spark)
+      time("epoch-timed") { graft.Incremental.append(spark, root, slice(3), "p3", cfg).decisions.count() }
+      timer.report(25)
+      println(f"[epoch] stages=${timer.rows.size} wall_sum=${timer.rows.map(_._3).sum / 1000.0}%.1f s " +
+        f"cpu_sum=${timer.rows.map(_._5).sum / 1000.0}%.1f s")
+      spark.stop(); return
+    }
     if (only.contains("pipeline")) {
       // args(0) = a RAW corpus parquet (e.g. target/bench-corpus-100000)
       val input = spark.read.parquet(args(0))

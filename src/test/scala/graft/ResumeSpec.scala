@@ -108,6 +108,59 @@ class ResumeSpec extends AnyFunSuite {
     assert(lineage2.contains(("candidates/1", true)))
   }
 
+  test("incremental append merges two existing clusters through a bridging row") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rootInc = "target/resume-spec-bridge"
+    val rootFull = "target/resume-spec-bridge-full"
+    deleteRec(Paths.get(rootInc)); deleteRec(Paths.get(rootFull))
+
+    // two unrelated long captions in the base corpus, then a new row whose
+    // caption CONTAINS both: substring edges (X,Z) and (Y,Z) appear only in
+    // the appended batch and must merge X's and Y's previously-separate
+    // clusters — the quotient-graph remap case of the incremental fast path
+    val capA = "unique alpha beta gamma delta epsilon zeta caption body"
+    val capB = "distinct one two three four five six seven caption tail"
+    def row(id: String, caption: String, ph: Long) =
+      gen.ImageRow(id, Array[Byte](1, 2), 64, 64, "png", caption, ph)
+    val base = Synth.corpus(spark, 60).toDF().unionByName(Seq(
+      row("img-0000000700", capA, 0x123456789ABCDEF0L),
+      row("img-0000000701", capB, 0x0FEDCBA987654321L)).toDF())
+    val bridge = Seq(
+      row("img-0000000800", s"$capA $capB", 0x5555AAAA3333CCCCL)).toDF()
+
+    Dedup.runCheckpointed(spark, base, rootInc, DedupConfig.default)
+    val before = spark.read.parquet(s"$rootInc/clusters")
+      .as[(String, String)].collect().toMap
+    assert(before("img-0000000700") != before("img-0000000701"),
+      "precondition: X and Y must start in different clusters")
+
+    val inc = Incremental.append(spark, rootInc, bridge, "b1", DedupConfig.default)
+    val after = inc.clusters.as[(String, String)].collect().toMap
+    assert(after("img-0000000700") == after("img-0000000701"),
+      "bridge row must merge the two clusters")
+    assert(after("img-0000000800") == after("img-0000000700"))
+
+    // the INCREMENTAL global path must have run (no overrides here) and
+    // observed the merge: its lineage row records >= 1 remapped cluster
+    val lineage = spark.read.parquet(s"$rootInc/_lineage")
+      .select("stage", "rows").as[(String, Long)].collect()
+    val fastRows = lineage.filter(_._1 == "global@incremental/b1")
+    assert(fastRows.nonEmpty, "incremental global fast path did not run")
+    assert(fastRows.exists(_._2 >= 1L), s"expected a remapped cluster, got $fastRows")
+
+    // byte-for-byte parity with a full recompute over the union
+    val full = Dedup.runCheckpointed(spark, base.unionByName(bridge), rootFull,
+      DedupConfig.default)
+    assert(after == full.clusters.as[(String, String)].collect().toMap)
+    def decSet(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("image_id"), col("decision"), col("best_match_id"),
+        col("best_score"), col("cluster_id"), col("is_recurring"),
+        size(col("top_matches")))
+      .collect().map(_.toSeq).toSet
+    assert(decSet(inc.decisions) == decSet(full.decisions))
+  }
+
   test("re-run of a partially-applied append still indexes new captions (suffix_keys)") {
     import org.apache.spark.sql.functions._
     val root = "target/resume-spec-crash"
