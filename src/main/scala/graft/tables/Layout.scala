@@ -247,13 +247,26 @@ object Layout {
       .write.mode(SaveMode.Overwrite).partitionBy(partitionBy).parquet(tmp)
 
     val fs = fsFor(new Path(dir))
+    // two renames per partition, not delete+rename: a crash between them
+    // leaves either the old partition (swap not started) or the new one
+    // plus a stale backup — never a missing partition. The backup lives
+    // OUTSIDE the stage dir (an extra dir under `$dir/` would be read back
+    // as a bogus partition value).
+    val bak = new Path(s"$root/_merge_old_$stage")
+    fs.delete(bak, true)
+    fs.mkdirs(bak)
     affected.foreach { p =>
       val live = new Path(s"$dir/$partitionBy=$p")
       val fresh = new Path(s"$tmp/$partitionBy=$p")
-      fs.delete(live, true)
-      if (!fs.rename(fresh, live))
+      val old = new Path(s"$bak/$partitionBy=$p")
+      if (!fs.rename(live, old))
+        throw new java.io.IOException(s"merge swap failed: $live -> $old")
+      if (!fs.rename(fresh, live)) {
+        fs.rename(old, live)
         throw new java.io.IOException(s"merge swap failed: $fresh -> $live")
+      }
     }
+    fs.delete(bak, true)
     fs.delete(new Path(tmp), true)
     // a cached handle for this stage now reads superseded blocks
     synchronized(cachedStages.remove((root, stage))).foreach(_.unpersist(false))
