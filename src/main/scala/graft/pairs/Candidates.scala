@@ -134,46 +134,127 @@ object Candidates {
    */
   def saltedSelfJoin(banded: DataFrame, cap: Int,
       sizes: Option[DataFrame] = None): DataFrame = {
-    val nonSingleton = sizes.getOrElse(
-      banded
-        .groupBy(col("band"), col("bkey"))
-        .agg(count(lit(1)).as("m")))
-      .where(col("m") >= 2)
-    // shuffle_hash hint: the size table scales with the key count — at
-    // corpus scale it must NEVER be broadcast (AQE's runtime conversion
-    // tried exactly that and blew driver.maxResultSize at 1M images); the
-    // agg output is already hash-partitioned on (band,bkey), so the join
-    // reuses its exchange and only `banded` shuffles
-    val tagged = banded
-      .join(nonSingleton.hint("shuffle_hash"), Seq("band", "bkey"))
+    val (nonSingleton, bcast) = nonSingletonKeys(banded, sizes)
+    val tagJoin =
+      if (bcast) broadcast(nonSingleton)
+      else nonSingleton.hint("shuffle_hash")
+    gridPairs(banded.join(tagJoin, Seq("band", "bkey")), cap)
+  }
+
+  /**
+   * The salted self-join over a PRE-EXPLODE sketch `(id, bks: array<long>)`
+   * where the array position is the band — the shape both image-side
+   * generators (MinHash band keys, SimHash combo keys) naturally produce.
+   *
+   * Same pair set as `saltedSelfJoin(sketch explode, cap)` (CandidatesSpec
+   * pins parity), but on the broadcast branch the tag pass never
+   * materializes the explosion: the non-singleton keys collect to the
+   * driver (count-gated <= BroadcastKeyCap, ~8B/key), broadcast as an
+   * open-addressing `LongSet`, and `FilteredBandKeys` emits only the
+   * surviving (band, bkey) rows — measured 64M exploded rows reduced to
+   * ~158k at 1M images, removing the second of the two ~14s explode passes
+   * that dominate the join (the exchanges themselves were measured ~7%).
+   * The size-agg pass still explodes everything (global counts need every
+   * key); above the cap the generic shuffle shape applies unchanged.
+   */
+  def saltedSelfJoinSketch(sketch: DataFrame, cap: Int,
+      broadcastKeyCap: Long = BroadcastKeyCap): DataFrame = {
+    val banded = sketch.select(col("id"),
+      posexplode(col("bks")).as(Seq("band", "bkey")))
+    val (nonSingleton, bcast) = nonSingletonKeys(banded, None, broadcastKeyCap)
+    val tagged =
+      if (!bcast) banded.join(nonSingleton.hint("shuffle_hash"), Seq("band", "bkey"))
+      else {
+        val mixed = nonSingleton.select(col("band"), col("bkey")).collect()
+          .map(r => FilteredBandKeys.mix(r.getInt(0), r.getLong(1)))
+        val bset = sketch.sparkSession.sparkContext
+          .broadcast(graft.util.LongSet(mixed))
+        // inner join on the REAL key columns drops mix-collision false
+        // positives and attaches m
+        sketch.select(col("id"), FilteredBandKeys.col(col("bks"), bset))
+          .join(broadcast(nonSingleton), Seq("band", "bkey"))
+      }
+    gridPairs(tagged, cap)
+  }
+
+  /** Non-singleton (band, bkey, m) keys of `banded`, persisted, plus the
+    * count-gated broadcastability decision.
+    *
+    * The FULL size table scales with the key count and must never be
+    * broadcast (AQE's runtime conversion tried exactly that and blew
+    * driver.maxResultSize at 1M images) — but the NON-SINGLETON subset is
+    * the interesting-collision set, measured ~79k keys per 1M images
+    * against 64M banded rows. When it fits (count gated, not guessed),
+    * the tag join is map-side and only tagged survivors reach the grid
+    * exchange. Above the cap the shuffle_hash shape kicks in: the agg
+    * output is already hash-partitioned on (band,bkey), so the join reuses
+    * its exchange and only `banded` shuffles. The count() is one action
+    * over the size agg; the agg is persisted so no branch recomputes it. */
+  private def nonSingletonKeys(banded: DataFrame, sizes: Option[DataFrame],
+      broadcastKeyCap: Long = BroadcastKeyCap): (DataFrame, Boolean) = {
+    val nonSingleton = graft.util.Caches.persist(
+      sizes.getOrElse(
+        banded
+          .groupBy(col("band"), col("bkey"))
+          .agg(count(lit(1)).as("m")))
+        .where(col("m") >= 2)
+        .select(col("band"), col("bkey"), col("m")))
+    val nsKeys = nonSingleton.count()
+    val bcast = nsKeys <= broadcastKeyCap
+    System.err.println(s"[saltedSelfJoin] nonSingleton keys=$nsKeys broadcast=$bcast")
+    (nonSingleton, bcast)
+  }
+
+  /** Grid-cell pair emission over the size-tagged non-singleton rows
+    * `(band, bkey, id, m)` — salt assignment, fused l/r cell explode, one
+    * groupBy per cell, CellPairs generator. */
+  private def gridPairs(taggedBase: DataFrame, cap: Int): DataFrame = {
+    val tagged = taggedBase
       .withColumn("g",
         when(col("m") <= cap, lit(1))
           .otherwise(ceil(col("m").cast("double") / cap)).cast("int"))
       .withColumn("salt", pmod(xxhash64(col("id")), col("g")).cast("int"))
 
-    val left = tagged.select(col("band"), col("bkey"), col("id"),
-      col("salt").as("si"), explode(sequence(col("salt"), col("g") - 1)).as("sj"),
-      lit("l").as("side"))
-    // guard: sequence(0, -1) would DESCEND, not be empty — salt-0 rows
-    // (every g=1 bucket) emit no 'r' rows at all
-    val right = tagged.select(col("band"), col("bkey"), col("id"),
-      explode(when(col("salt") > 0, sequence(lit(0), col("salt") - 1))
-        .otherwise(array().cast("array<int>"))).as("si"),
-      col("salt").as("sj"),
-      lit("r").as("side"))
+    // One fused emission pass: each row explodes both its 'l' cells
+    // (si=own salt, sj in [salt, g-1]) and its 'r' cells (si in
+    // [0, salt-1], sj=own salt) from a single projection — the former
+    // left/right union computed the tag join TWICE (two branches over the
+    // same exchange; with the broadcast shape it would recompute the full
+    // banded lineage twice). The per-row transform is O(g) structs (g=1,
+    // a single 'l' struct, for every under-cap bucket) — nothing like the
+    // k² HOF pair emission CellPairs replaced. Guard: sequence(0, -1)
+    // DESCENDS, not empties — salt-0 rows emit no 'r' cells at all.
+    val cells = tagged.select(col("band"), col("bkey"), col("id"),
+      explode(concat(
+        transform(sequence(col("salt"), col("g") - 1),
+          sj => struct(col("salt").as("si"), sj.as("sj"), lit(true).as("l"))),
+        transform(
+          when(col("salt") > 0, sequence(lit(0), col("salt") - 1))
+            .otherwise(array().cast("array<int>")),
+          si => struct(si.as("si"), col("salt").as("sj"), lit(false).as("l")))
+      )).as("cell"))
+      .select(col("band"), col("bkey"), col("id"),
+        col("cell.si").as("si"), col("cell.sj").as("sj"),
+        col("cell.l").as("side"))
 
     // pair emission is a custom streaming Generator (see CellPairs): the
     // HOF construction it replaces (nested transform + when + flatten +
     // filter + sort_array) was the hottest stage of the 1M pipeline —
     // k^2 struct allocations per self cell with half built only to be
     // nulled out, plus a per-cell sort the pair set never needed
-    left.unionByName(right)
+    cells
       .groupBy(col("band"), col("bkey"), col("si"), col("sj"))
       .agg(
-        collect_list(when(col("side") === "l", col("id"))).as("ls"),
-        collect_list(when(col("side") === "r", col("id"))).as("rs"))
+        collect_list(when(col("side"), col("id"))).as("ls"),
+        collect_list(when(!col("side"), col("id"))).as("rs"))
       .select(CellPairs.col(col("ls"), col("rs"), col("si") === col("sj")))
   }
+
+  /** Max non-singleton key count the salted join will broadcast for its
+    * tag-back (~40B/row unsafe → ~80MB at the default). Env-overridable for
+    * A/B profiling; 0 forces the shuffle shape. */
+  val BroadcastKeyCap: Long =
+    sys.env.get("GRAFT_SALT_BCAST_CAP").map(_.toLong).getOrElse(2000000L)
 
   /** MinHash band-key projection of the reps: (id, band, bkey) — the LSH
     * index. Persisted as the `banded` stage so an incremental batch joins
@@ -185,7 +266,7 @@ object Candidates {
     * the band table twice), while the explode itself is trivial to
     * recompute — and caching the exploded rows (bands × reps of them)
     * measured ~2x wall on low-core runs purely in columnar cache build. */
-  def minhashBanded(reps: DataFrame, cfg: DedupConfig): DataFrame =
+  def minhashSketch(reps: DataFrame, cfg: DedupConfig): DataFrame =
     graft.util.Caches.persist(
       reps
         .where(col("shingles").isNotNull && size(col("shingles")) > 0)
@@ -193,13 +274,16 @@ object Candidates {
           MinHash.bandKeysCol(
             MinHash.signatureCol(col("shingles"), cfg.numHashes, cfg.hashSeed),
             cfg.bands, cfg.hashSeed).as("bks")))
+
+  def minhashBanded(reps: DataFrame, cfg: DedupConfig): DataFrame =
+    minhashSketch(reps, cfg)
       .select(col("id"), posexplode(col("bks")).as(Seq("band", "bkey")))
 
   /** MinHash/LSH candidates over the exact-group representatives. */
   def minhashPairs(reps: DataFrame, cfg: DedupConfig): DataFrame =
     // no distinct here: the verifier's groupBy(src,dst) dedups all
     // generators at once — a per-generator distinct is a wasted shuffle
-    saltedSelfJoin(minhashBanded(reps, cfg), cfg.bucketSizeCap)
+    saltedSelfJoinSketch(minhashSketch(reps, cfg), cfg.bucketSizeCap)
       .withColumn("source", lit("minhash"))
 
   /** Per-phash representative map: (image_id, phash, prep). Persisted-free
@@ -217,20 +301,27 @@ object Candidates {
   /** SimHash candidates: distinct phashes banded by pigeonhole slices,
     * plus same-phash membership pairs (Hamming 0). */
   def simhashPairs(clean: DataFrame, cfg: DedupConfig): DataFrame = {
-    // project before the window: the phash shuffle carries 2 columns, not
-    // the whole feature row (shingle arrays dominate row width)
-    val phRep = phashRepMap(clean)
+    // persist the REP MAP (3 narrow columns), not the exploded combo-key
+    // table (70 keys per phash — a columnar cache build of that explosion
+    // measured ~2x wall on low-core runs): it feeds three consumers — the
+    // same-phash membership pairs plus the salted join's two banded passes
+    // (size agg + tag join), each of which would otherwise recompute the
+    // groupBy+join rep tagging; the combo keys themselves are cheap bit
+    // slices recomputed per pass
+    val phRep = graft.util.Caches.persist(phashRepMap(clean))
     val samePhash = phRep.where(col("image_id") =!= col("prep"))
       .select(col("prep").as("src"), col("image_id").as("dst"))
 
-    // persist the DISTINCT PHASH list (small), not the exploded combo-key
-    // table (70 keys per phash — a columnar cache build of that explosion
-    // measured ~2x wall on low-core runs); the combo keys are cheap bit
-    // slices recomputed on each of the salted join's two passes
-    val distinctPh = graft.util.Caches.persist(
-      phRep.where(col("image_id") === col("prep"))
-        .select(col("prep").as("id"), col("phash")))
-    val bandPairs = saltedSelfJoin(simhashBanded(distinctPh, cfg), cfg.bucketSizeCap)
+    val distinctPh = phRep.where(col("image_id") === col("prep"))
+      .select(col("prep").as("id"), col("phash"))
+    // the sketch column is the NATIVE combo expression: both of the salted
+    // join's passes evaluate it once per row in compiled Scala (the builtin
+    // comboKeysCol tree would be interpreted under the filter Generator)
+    val bandPairs = saltedSelfJoinSketch(
+      distinctPh.select(col("id"),
+        SimHash.comboKeysNativeCol(col("phash"), cfg.phashBands, cfg.phashAgree)
+          .as("bks")),
+      cfg.bucketSizeCap)
 
     samePhash.union(bandPairs).withColumn("source", lit("simhash"))
   }

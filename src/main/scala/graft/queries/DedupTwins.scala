@@ -114,9 +114,10 @@ object DedupTwins {
         SimHash.simhash64Col(transform(Documents.shingles3(col("text")), md5Lo64(_)))
           .bitwiseAND(lit(0xFFFFFFFFL)).as("sh"))
       .where(col("sh").isNotNull))
-    val banded = s32.select(col("doc_id").as("id"),
-      posexplode(SimHash.comboKeysCol(col("sh"), 8, 4, 32)).as(Seq("band", "bkey")))
-    Candidates.saltedSelfJoin(banded, DedupConfig.default.bucketSizeCap)
+    Candidates.saltedSelfJoinSketch(
+      s32.select(col("doc_id").as("id"),
+        SimHash.comboKeysNativeCol(col("sh"), 8, 4, 32).as("bks")),
+      DedupConfig.default.bucketSizeCap)
       .distinct()
       .join(s32.select(col("doc_id").as("src"), col("sh").as("sha")), "src")
       .join(s32.select(col("doc_id").as("dst"), col("sh").as("shb")), "dst")

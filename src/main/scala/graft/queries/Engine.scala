@@ -62,14 +62,13 @@ object Engine {
       .where(size(col("hashes")) > 0)
     // persisted PRE-explode: the sketch is the CPU hot path and the salted
     // join consumes the band table twice; the explode recomputes cheaply
-    val banded = graft.util.Caches.persist(sh.select(col("id"),
+    val sketch = graft.util.Caches.persist(sh.select(col("id"),
       MinHash.bandKeysCol(
         MinHash.signatureCol(col("hashes"), cfg.numHashes, cfg.hashSeed),
         cfg.bands, cfg.hashSeed).as("bks")))
-      .select(col("id"), posexplode(col("bks")).as(Seq("band", "bkey")))
     // ONE distinct, after the numeric re-order — a distinct before the
     // projection would be a second, redundant shuffle of the same pairs
-    Candidates.saltedSelfJoin(banded, cfg.bucketSizeCap)
+    Candidates.saltedSelfJoinSketch(sketch, cfg.bucketSizeCap)
       .select(least(col("src").cast("long"), col("dst").cast("long")).as("da"),
         greatest(col("src").cast("long"), col("dst").cast("long")).as("db"))
       .distinct()
@@ -87,9 +86,12 @@ object Engine {
         SimHash.simhash64Col(
           array_distinct(transform(Documents.shingles3(col("text")), x => xxhash64(x)))).as("sh"))
       .where(col("sh").isNotNull))
-    val banded = sh.select(col("id"),
-      posexplode(SimHash.comboKeysCol(col("sh"), cfg.phashBands, cfg.phashAgree)).as(Seq("band", "bkey")))
-    val pairs = Candidates.saltedSelfJoin(banded, cfg.bucketSizeCap).distinct()
+    // native combo expression: the salted join's filter-generator pass
+    // evaluates the sketch child per row in compiled Scala
+    val pairs = Candidates.saltedSelfJoinSketch(
+      sh.select(col("id"),
+        SimHash.comboKeysNativeCol(col("sh"), cfg.phashBands, cfg.phashAgree).as("bks")),
+      cfg.bucketSizeCap).distinct()
     pairs
       .join(sh.select(col("id").as("src"), col("sh").as("sha")), "src")
       .join(sh.select(col("id").as("dst"), col("sh").as("shb")), "dst")
@@ -140,10 +142,9 @@ object Engine {
     // shuffle moves (id, table, bucket) triples, not 64-double arrays;
     // the PRE-explode table-key arrays persist (hyperplane dot products
     // are the CPU hot path; the salted join reads the band table twice)
-    val banded = maybePersist(e.select(col("vec_id").as("id"),
-      array((0 until tables).map(bits): _*).as("ks")))
-      .select(col("id"), posexplode(col("ks")).as(Seq("band", "bkey")))
-    val pairs = Candidates.saltedSelfJoin(banded, cfg.bucketSizeCap).distinct()
+    val sketch = maybePersist(e.select(col("vec_id").as("id"),
+      array((0 until tables).map(bits): _*).as("bks")))
+    val pairs = Candidates.saltedSelfJoinSketch(sketch, cfg.bucketSizeCap).distinct()
     val cand = pairs.select(col("src").as("qid"), col("dst").as("nid"))
       .union(pairs.select(col("dst").as("qid"), col("src").as("nid")))
     val scored = cand

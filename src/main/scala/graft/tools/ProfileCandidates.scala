@@ -132,8 +132,13 @@ object ProfileCandidates {
           .as(Seq("band", "bkey")))
       time("ph-explode") { banded.count() }
       time("ph-salted") { Candidates.saltedSelfJoin(banded, cfg.bucketSizeCap).count() }
-      val timer = StageTimer.attach(spark)
       time("ph-salted2") { Candidates.saltedSelfJoin(banded, cfg.bucketSizeCap).count() }
+      val sketch = distinctPh.cache().select(col("id"),
+        SimHash.comboKeysNativeCol(col("phash"), cfg.phashBands, cfg.phashAgree)
+          .as("bks"))
+      time("ph-sketch") { Candidates.saltedSelfJoinSketch(sketch, cfg.bucketSizeCap).count() }
+      val timer = StageTimer.attach(spark)
+      time("ph-sketch2") { Candidates.saltedSelfJoinSketch(sketch, cfg.bucketSizeCap).count() }
       timer.report(8)
       spark.stop(); return
     }

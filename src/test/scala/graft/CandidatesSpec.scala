@@ -32,6 +32,48 @@ class CandidatesSpec extends AnyFunSuite {
     assert(naive.size == 3 + 28 + (80 * 79) / 2)
   }
 
+  test("sketch salted self-join == naive pair set on both branches") {
+    import spark.implicits._
+    // multi-band sketches with a planted hot key in band 2: the broadcast
+    // branch (FilteredBandKeys generator + LongSet) and the shuffle branch
+    // must both reproduce the naive exploded self-join's pair SET (pairs
+    // may repeat across bands; the verifier dedups downstream)
+    val cap = 8
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      (f"s$i%03d", (0 until 5).map(b =>
+        rnd.nextInt(if (b == 2) 3 else 40).toLong))
+    }
+    val sketch = rows.toDF("id", "bks")
+    val banded = sketch.select(col("id"),
+      posexplode(col("bks")).as(Seq("band", "bkey")))
+    val naive = banded.as("l").join(banded.as("r"),
+        $"l.band" === $"r.band" && $"l.bkey" === $"r.bkey" && $"l.id" < $"r.id")
+      .select($"l.id".as("src"), $"r.id".as("dst"))
+      .as[(String, String)].collect().toSet
+    assert(naive.size > 1000, "hot band must generate real pair volume")
+
+    val bcast = Candidates.saltedSelfJoinSketch(sketch, cap)
+      .as[(String, String)].collect().toSet
+    val shuffle = Candidates.saltedSelfJoinSketch(sketch, cap, broadcastKeyCap = 0)
+      .as[(String, String)].collect().toSet
+    assert(bcast == naive)
+    assert(shuffle == naive)
+  }
+
+  test("LongSet contains exactly its members") {
+    val rnd = new scala.util.Random(1)
+    val vals = Array.fill(5000)(rnd.nextLong())
+    val s = graft.util.LongSet(vals)
+    vals.foreach(v => assert(s.contains(v)))
+    val members = vals.toSet
+    (0 until 5000).foreach { _ =>
+      val x = rnd.nextLong()
+      assert(s.contains(x) == members.contains(x))
+    }
+    assert(!graft.util.LongSet(Array.empty[Long]).contains(0L))
+  }
+
   test("salted self-join is stable under partitioning") {
     import spark.implicits._
     val rows = (0 until 100).map(i => (f"x$i%03d", i % 3, (i % 5).toLong))

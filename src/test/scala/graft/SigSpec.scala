@@ -112,6 +112,24 @@ class SigSpec extends AnyFunSuite {
     }
   }
 
+  test("native combo-keys expression == builtin column form == scala") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val phashes = Seq(0L, -1L, 123456789123L, Long.MinValue,
+      0x5a5a5a5a5a5a5a5aL) ++ Seq.fill(50)(rnd.nextLong())
+    val df = phashes.toDF("p")
+    val native = df.select(
+      SimHash.comboKeysNativeCol(col("p"), cfg.phashBands, cfg.phashAgree))
+      .as[Seq[Long]].collect()
+    val builtin = df.select(
+      SimHash.comboKeysCol(col("p"), cfg.phashBands, cfg.phashAgree))
+      .as[Seq[Long]].collect()
+    phashes.indices.foreach { i =>
+      assert(native(i) == builtin(i), s"phash=${phashes(i)}")
+      assert(native(i) == SimHash.comboKeys(phashes(i), cfg.phashBands, cfg.phashAgree).toSeq)
+    }
+  }
+
   test("hamming column == scala hamming") {
     import spark.implicits._
     val pairs = Seq((0L, 0L), (-1L, 0L), (0x0fL, 0x1fL), (123456789L, 987654321L))
