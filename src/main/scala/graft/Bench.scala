@@ -102,6 +102,11 @@ object Bench {
     Dedup.run(spark, input, DedupConfig.default).clusters.count()
     graft.util.Caches.releaseAll()
     spark.sqlContext.clearCache()
+    // the 11 headline queries + warm pass leave the driver old-gen full of
+    // dead cache/broadcast state; without this the timed pass can pay their
+    // collection mid-run (measured same-build pipeline spread 28.5 s fresh
+    // JVM vs 44 s late in a bench JVM with ambient near zero)
+    System.gc()
     val (clusters, pipeSec) = time {
       val r = Dedup.run(spark, input, DedupConfig.default)
       r.clusters.count()

@@ -67,6 +67,7 @@ object SparkEntry {
     "q35_pagination" -> (Relational.q35Pagination(_, _)),
     "q36_avg_match_score" -> (DedupTwins.q36AvgMatchScore(_, _)),
     "q37_decision_timeline" -> (DedupTwins.q37DecisionTimeline(_, _)),
+    "q38_duplicate_history" -> (DedupTwins.q38DuplicateHistory(_, _)),
     // engine-native (rows-only checks; oracle parity lives in the test suite)
     "dedup_minhash_docs" -> (Engine.minhashCandidatesDocs(_, _)),
     "dedup_simhash_docs" -> (Engine.simhashDocs(_, _)),
@@ -120,6 +121,7 @@ object SparkEntry {
     "q34_prefix_dedup_docs" -> DedupTwins.q34Sql,
     "q35_pagination" -> Relational.q35Sql,
     "q36_avg_match_score" -> DedupTwins.q36Sql,
-    "q37_decision_timeline" -> DedupTwins.q37Sql
+    "q37_decision_timeline" -> DedupTwins.q37Sql,
+    "q38_duplicate_history" -> DedupTwins.q38Sql
   )
 }

@@ -336,4 +336,68 @@ object DedupTwins {
       |SELECT cast(floor(doc_id / 100) AS bigint) AS arrival_bucket, decision,
       |  count(*) AS cnt, round(avg(best_score), 4) AS avg_score
       |FROM dec GROUP BY 1, 2""".stripMargin
+
+  // ---- q38: duplicate_history event log (reference `migrations/schema.sql:
+  //           95-119` — match_method, was_blocked per detection EVENT, a
+  //           queryable log separate from the audit table). Drives the REAL
+  //           `Dedup.duplicateHistory` over a verified-like pair set whose
+  //           `sources` union three generators (ngram / substring / simhash),
+  //           so the driver checks the method-attribution join, not just the
+  //           decision rule. `detected_at`/`batch` are dropped — the dump
+  //           must be deterministic. -----------------------------------------
+
+  def q38DuplicateHistory(spark: SparkSession, dir: String): DataFrame = {
+    val dec = q29DecisionsDocs(spark, dir)
+      .select(col("doc_id").as("image_id"), col("decision"),
+        col("best_match_id"), col("best_score"))
+    // all three twin generators, canonicalized to (da < db) arrival order
+    val meth = q21Pairs(spark, dir)
+      .select(col("da"), col("db"), lit("ngram").as("m"))
+      .unionByName(q26SubstringDocs(spark, dir).select(
+        least(col("src"), col("dst")).as("da"),
+        greatest(col("src"), col("dst")).as("db"),
+        lit("substring").as("m")))
+      .unionByName(q27SimhashDocs(spark, dir)
+        .select(col("da"), col("db"), lit("simhash").as("m")))
+    val verifiedLike = meth
+      .groupBy(col("da").as("src"), col("db").as("dst"))
+      .agg(sort_array(collect_set(col("m"))).as("sources"))
+    graft.Dedup.duplicateHistory(dec, verifiedLike)
+      .select(col("image_id").as("doc_id"), col("best_match_id"),
+        col("best_score"), col("was_blocked"), col("match_method"))
+  }
+
+  /** The simhash CTEs reuse `tk`/`shg0` from `pairsCte` (same tokenization,
+    * same distinct 3-gram strings) — only the md5 hash/majority-vote stack
+    * is simhash-specific. */
+  val q38Sql: String =
+    s"""WITH RECURSIVE $decisionsCte,
+      |nrm AS (SELECT doc_id, trim(regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g')) AS nrm
+      |        FROM documents),
+      |sub AS (
+      |  SELECT least(a.doc_id, b.doc_id) AS da, greatest(a.doc_id, b.doc_id) AS db
+      |  FROM nrm a JOIN nrm b ON a.doc_id <> b.doc_id
+      |  WHERE len(a.nrm) >= 32 AND a.nrm <> b.nrm
+      |    AND contains(' ' || b.nrm || ' ', ' ' || a.nrm || ' ')),
+      |h2 AS (SELECT doc_id, md5_number_lower(s) AS h FROM shg0),
+      |bits2 AS (
+      |  SELECT doc_id, b,
+      |    CASE WHEN sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+      |         THEN (1::BIGINT << b) ELSE 0 END AS bit
+      |  FROM h2, unnest(range(0, 32)) u(b) GROUP BY doc_id, b),
+      |s32x AS (SELECT doc_id, cast(sum(bit) AS bigint) AS sh FROM bits2 GROUP BY doc_id),
+      |simp AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db
+      |  FROM s32x a JOIN s32x b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.sh, b.sh)) <= 4),
+      |meth AS (
+      |  SELECT da, db, 'ngram' AS m FROM pairs
+      |  UNION SELECT da, db, 'substring' FROM sub
+      |  UNION SELECT da, db, 'simhash' FROM simp),
+      |mm AS (SELECT da, db, string_agg(m, '+' ORDER BY m) AS match_method
+      |       FROM meth GROUP BY da, db)
+      |SELECT d.doc_id, d.best_match_id, d.best_score,
+      |  (d.decision = 'blocked') AS was_blocked, mm.match_method
+      |FROM dec d LEFT JOIN mm ON mm.da = d.best_match_id AND mm.db = d.doc_id
+      |WHERE d.decision <> 'new'""".stripMargin
 }
