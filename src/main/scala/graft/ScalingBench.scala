@@ -76,6 +76,11 @@ object ScalingBench {
         f""""cores":$cores,"rows":$rows,"clean":$clean,"sec":$sec%.2f,""" +
         f""""images_per_sec":${rows / sec}%.1f}""")
       s.stop()
+      // temp checkpoint roots are per-measurement garbage; a scaling session
+      // leaves dozens of them (hundreds of MB each) in /tmp otherwise
+      Seq(warmDir, outDir).foreach { d =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+      }
 
     case _ =>
       System.err.println("usage: ScalingBench gen <rows> | measure <cores> <rows>")
