@@ -72,6 +72,7 @@ object SparkEntry {
     "dedup_minhash_docs" -> (Engine.minhashCandidatesDocs(_, _)),
     "dedup_simhash_docs" -> (Engine.simhashDocs(_, _)),
     "ann_lsh_topk" -> (Engine.annLshTopk(_, _)),
+    "ann_ivf_topk" -> (Engine.annIvfTopk(_, _)),
     "pipeline_clusters" -> (Engine.pipelineClusters(_, _)),
     "pipeline_decisions" -> (Engine.pipelineDecisions(_, _)),
     "pipeline_verified_pairs" -> (Engine.pipelineVerifiedPairs(_, _)),

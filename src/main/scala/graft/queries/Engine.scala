@@ -7,7 +7,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import graft.config.DedupConfig
 import graft.gen.{Images, Synth}
 import graft.pairs.Candidates
-import graft.sig.{MinHash, Shingle, SimHash}
+import graft.sig.{Ivf, MinHash, Shingle, SimHash}
 import graft.util.Hashing
 
 /**
@@ -153,6 +153,51 @@ object Engine {
       .select(col("qid"), col("nid"),
         (aggregate(zip_with(col("qv"), col("nv"), (x, y) => x * y), lit(0.0), (a, x) => a + x) /
           (col("qn") * col("nn"))).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("qid"), col("nid"), col("rank"), round(col("cos"), 4).as("cos"))
+  }
+
+  /**
+   * ANN over embeddings via an IVF coarse quantizer — the second scale path
+   * of the brute-force q23/q25, and the one the reference itself names for
+   * growth ("Use IndexIVFFlat instead of IndexFlatIP for large datasets",
+   * /root/reference/PRODUCTION.md:520; app/utils/vector_store.py:45).
+   * Complements `annLshTopk`: LSH wins when near-dup mass hides in a few
+   * hot caption families (bucket caps + the salted join absorb them); IVF
+   * wins when the *embedding space* itself is the skewed axis — k-means
+   * cells are size-balanced to first order and the per-query work is a
+   * designed bound (nprobe·n/k), not a tail probability.
+   *
+   * `Ivf.train` is the offline index-build action (FAISS `train()` analog):
+   * 1 + iters jobs, driver state k×dim doubles. Assignment and probing are
+   * codegen'd Column expressions; the posting-list scan is an equi-join on
+   * the cell id (probe side nprobe rows/vector, assign side 1 row/vector,
+   * ids only — vectors rejoin after pairing), so a hot cell is an
+   * AQE-splittable shuffle-join key, never a single-task window. The final
+   * per-query top-k window ranks ≤ nprobe·n/k rows per qid by construction.
+   */
+  def annIvfTopk(spark: SparkSession, dir: String,
+      k: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+    // normalized vectors: dot = cosine on both the train and query sides
+    val base = maybePersist(e.select(col("vec_id"),
+      transform(col("v"), x => x / col("nrm")).as("u")))
+    val cents = Ivf.train(base.select(col("vec_id").as("id"), col("u")), k, iters)
+    val probes = base.select(col("vec_id"), Ivf.probeCol(col("u"), cents, nprobe).as("pcells"))
+    val assign = probes.select(col("vec_id").as("nid"), element_at(col("pcells"), 1).as("cell"))
+    val probe = probes.select(col("vec_id").as("qid"), explode(col("pcells")).as("cell"))
+    // (qid, nid) is unique: nid sits in exactly one posting list
+    val cand = probe.join(assign, Seq("cell")).where(col("qid") =!= col("nid"))
+    val scored = cand
+      .join(base.select(col("vec_id").as("qid"), col("u").as("qu")), "qid")
+      .join(base.select(col("vec_id").as("nid"), col("u").as("nu")), "nid")
+      .select(col("qid"), col("nid"),
+        aggregate(zip_with(col("qu"), col("nu"), (x, y) => x * y), lit(0.0), (a, x) => a + x).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= 5)

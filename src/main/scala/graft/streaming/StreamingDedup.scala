@@ -34,6 +34,46 @@ object StreamingDedup {
   val InputSchema: StructType = Encoders.product[ImageRow].schema
 
   /**
+   * Event-time ingest monitoring: a STATEFUL streaming aggregation (unlike
+   * the foreachBatch pipeline above, which is stateless per epoch) over the
+   * arrival stream — per event-time window and format, arrival counts,
+   * low-quality counts and mean quality score. The streaming twin of the
+   * reference's `created_at`-indexed monitoring tables
+   * (`migrations/schema.sql:40,54` — every table carries created_at with a
+   * time index; the stats endpoints bucket on it), which the batch side
+   * covers with q07/q09/q37.
+   *
+   * `withWatermark(lateness)` bounds the state: windows older than
+   * max(event_ts) − lateness are finalized and their state dropped, and
+   * rows arriving later than that are discarded — without it a 10^12-row
+   * stream accumulates unbounded window state. The aggregation is a plain
+   * groupBy(window, fmt): partial aggregation applies map-side, state is
+   * keyed by (window, fmt) — thousands of keys, not rows — so the shuffle
+   * carries one row per key per micro-batch regardless of input volume.
+   *
+   * `arrivals` must carry the ImageRow columns plus an `event_ts`
+   * timestamp (attached by the deployment: upstream created_at, or the
+   * arrival file's commit time). Returns an unstarted streaming DataFrame;
+   * the caller picks sink + output mode (`update` for a live dashboard,
+   * `append` for an immutable metrics log that emits each window once,
+   * finalized).
+   */
+  def ingestMonitor(arrivals: DataFrame, cfg: DedupConfig = DedupConfig.default,
+      windowLen: String = "1 minute", lateness: String = "2 minutes"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val issues = graft.quality.Quality.issuesCol(col("caption"), cfg)
+    val qscore = graft.quality.Quality.scoreCol(issues)
+    arrivals
+      .withWatermark("event_ts", lateness)
+      .groupBy(window(col("event_ts"), windowLen), col("fmt"))
+      .agg(
+        count(lit(1)).as("arrivals"),
+        sum(when(graft.quality.Quality.isLowQualityCol(issues), 1L).otherwise(0L)).as("low_quality"),
+        round(avg(qscore), 4).as("avg_quality"),
+        round(avg(length(col("caption"))), 2).as("avg_caption_len"))
+  }
+
+  /**
    * Start the streaming dedup into `root`. The first micro-batch
    * bootstraps the root via the full checkpointed run; later batches
    * append incrementally. `Trigger.AvailableNow` drains everything

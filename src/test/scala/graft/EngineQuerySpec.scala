@@ -110,6 +110,35 @@ class EngineQuerySpec extends AnyFunSuite {
     assert(rate >= 0.9, f"near-neighbor retrieval $rate%.3f below 0.9 (bound $pBound%.4f)")
   }
 
+  test("ann ivf topk: recall@5 vs the exact crossJoin twin; deterministic") {
+    import spark.implicits._
+    val bf = Documents.q23EmbedTopk(spark, dir)
+      .select("qid", "nid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val run = () => Engine.annIvfTopk(spark, dir)
+      .select("qid", "nid", "rank").as[(Long, Long, Int)].collect()
+    val rows = run()
+    val ivf = rows.map(r => (r._1, r._2))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val queried = ivf.filterKeys(bf.contains)
+    val hits = bf.map { case (q, want) => (ivf.getOrElse(q, Set.empty) & want).size }.sum
+    val total = bf.values.map(_.size).sum
+    val recall = hits.toDouble / total
+    // the exact top-1 neighbor lands in the query's probed cells with the
+    // highest probability of any neighbor (smallest angle ⇒ most likely to
+    // share the Voronoi cell or a probed adjacent one)
+    val top1 = Documents.q23EmbedTopk(spark, dir).where("rank = 1")
+      .select("qid", "nid").as[(Long, Long)].collect().toMap
+    val top1Hit = top1.count { case (q, n) => ivf.getOrElse(q, Set.empty).contains(n) }
+    info(s"ivf recall@5=$recall ($hits/$total), exact-top1 retrieved=$top1Hit/${top1.size}, " +
+      s"probed-queries=${queried.size}")
+    assert(recall >= 0.5, s"ivf recall@5 $recall collapsed vs exact twin")
+    assert(top1Hit * 2 >= top1.size, "ivf should retrieve the exact top-1 for a majority of queries")
+    // seed pick, Lloyd rounds, probing, and tie-breaks are all deterministic
+    assert(run().sortBy(r => (r._1, r._3)) sameElements rows.sortBy(r => (r._1, r._3)),
+      "ivf results must be deterministic run-to-run")
+  }
+
   test("exact dedup over corpus finds the planted identical groups") {
     import spark.implicits._
     val groups = Engine.exactDedupCorpus(spark, dir)
