@@ -81,6 +81,8 @@ object SparkEntry {
     "pipeline_audit" -> (Engine.pipelineAudit(_, _)),
     "pipeline_history" -> (Engine.pipelineHistory(_, _)),
     "image_features" -> (Engine.imageFeatures(_, _)),
+    "image_thumbnails" -> (Engine.imageThumbnails(_, _)),
+    "video_frames" -> (Engine.videoFrames(_, _)),
     "exact_dedup_corpus" -> (Engine.exactDedupCorpus(_, _)),
     "substring_pairs_corpus" -> (Engine.substringPairsCorpus(_, _))
   )

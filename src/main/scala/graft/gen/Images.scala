@@ -89,6 +89,18 @@ object Images {
   def decode(bytes: Array[Byte]): BufferedImage =
     ImageIO.read(new java.io.ByteArrayInputStream(bytes))
 
+  /** Bilinear resize (real pixels, no stub) — the thumbnail/normalization
+    * step of a training-data image pipeline. */
+  def resize(img: BufferedImage, tw: Int, th: Int): BufferedImage = {
+    val out = new BufferedImage(tw, th, BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(img, 0, 0, tw, th, null)
+    g.dispose()
+    out
+  }
+
   private def gray(rgb: Int): Double = {
     val r = (rgb >> 16) & 0xff
     val g = (rgb >> 8) & 0xff

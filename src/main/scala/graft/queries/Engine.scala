@@ -288,6 +288,53 @@ object Engine {
       .withColumn("corpus_rows", lit(corpus))
   }
 
+  /** Multimodal resize: decode → bilinear thumbnail → perceptual hash of
+    * the thumbnail (real pixels end to end — `Images.resize` is a
+    * Graphics2D bilinear draw, not a stub). The normalization step every
+    * image training pipeline runs before feature extraction; the average
+    * hash is scale-stable, so `thumb_phash` doubles as a resize-correctness
+    * probe (MultimodalSpec pins Hamming(thumb_phash, phash) small). Same
+    * mapPartitions batch shape as `imageFeatures`. */
+  def imageThumbnails(spark: SparkSession, dir: String,
+      tw: Int = 64, th: Int = 64): DataFrame = {
+    import spark.implicits._
+    val corpus = synthRows(dir)
+    val n = math.min(corpus, 4000L) // decode cost cap for the dump
+    Synth.corpus(spark, n).mapPartitions { it =>
+      it.map { r =>
+        val img = Images.decode(r.bytes)
+        val thumb = Images.resize(img, tw, th)
+        (r.image_id, img.getWidth, img.getHeight, tw, th,
+          Images.phash(thumb), r.bytes.length, Images.encodePng(thumb).length)
+      }
+    }.toDF("image_id", "w", "h", "tw", "th", "thumb_phash", "orig_bytes", "thumb_bytes")
+      .withColumn("decoded_rows", lit(n))
+      .withColumn("corpus_rows", lit(corpus))
+  }
+
+  /** Multimodal frame sampling: demux the opaque video column per
+    * partition, keep every `everyK`-th frame, decode it (real
+    * javax.imageio) and emit typed frame rows. The container format is the
+    * documented stub boundary (`gen/Videos.scala` — no codec libs in this
+    * environment); the operator's Spark surface — binary column in, demux
+    * iterator bounded to one frame of memory, frame-explosion schema out —
+    * is exactly what a real demuxer plugs into. */
+  def videoFrames(spark: SparkSession, dir: String, everyK: Int = 2): DataFrame = {
+    import spark.implicits._
+    val nVideos = math.max(1L, math.min(synthRows(dir) / 10, 500L))
+    graft.gen.Videos.corpus(spark, nVideos).mapPartitions { it =>
+      it.flatMap { v =>
+        graft.gen.Videos.unpack(v.bytes).zipWithIndex
+          .filter(_._2 % everyK == 0)
+          .map { case (fb, idx) =>
+            val img = Images.decode(fb)
+            (v.video_id, idx, idx / v.fps, img.getWidth, img.getHeight,
+              Images.phash(img))
+          }
+      }
+    }.toDF("video_id", "frame_idx", "ts_sec", "w", "h", "frame_phash")
+  }
+
   /** Exact dedup by content fingerprint over the synthetic corpus
     * (groupBy-hash exact dedup; non-trivial because the corpus plants
     * byte-identical rows). */
