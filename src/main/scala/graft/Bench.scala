@@ -61,7 +61,7 @@ object Bench {
       "q01_pricing_summary", "q03_top_revenue_orders", "q05_topk_per_group",
       "q07_daily_events", "q13_customers_without_orders",
       "q17_token_stats", "q21_ngram_jaccard", "q23_embed_topk",
-      "dedup_minhash_docs", "dedup_simhash_docs", "ann_lsh_topk")
+      "dedup_minhash_docs", "dedup_simhash_docs", "ann_lsh_topk", "ann_ivf_topk")
 
     // JIT warmup, untimed (same protocol as ScalingBench's 10% slice):
     // a fresh JVM's first execution of each plan pays whole-stage-codegen
@@ -102,7 +102,7 @@ object Bench {
     Dedup.run(spark, input, DedupConfig.default).clusters.count()
     graft.util.Caches.releaseAll()
     spark.sqlContext.clearCache()
-    // the 11 headline queries + warm pass leave the driver old-gen full of
+    // the 12 headline queries + warm pass leave the driver old-gen full of
     // dead cache/broadcast state; without this the timed pass can pay their
     // collection mid-run (measured same-build pipeline spread 28.5 s fresh
     // JVM vs 44 s late in a bench JVM with ambient near zero)

@@ -179,7 +179,7 @@ object Engine {
    * per-query top-k window ranks ≤ nprobe·n/k rows per qid by construction.
    */
   def annIvfTopk(spark: SparkSession, dir: String,
-      k: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+      k: Int = 16, nprobe: Int = 4, iters: Int = 2, trainMod: Int = 1): DataFrame = {
     val e = t(spark, dir, "embeddings")
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -187,7 +187,12 @@ object Engine {
     // normalized vectors: dot = cosine on both the train and query sides
     val base = maybePersist(e.select(col("vec_id"),
       transform(col("v"), x => x / col("nrm")).as("u")))
-    val cents = Ivf.train(base.select(col("vec_id").as("id"), col("u")), k, iters)
+    // at corpus scale, Lloyd needs thousands of points per centroid, not
+    // every row: `trainMod` > 1 trains on a deterministic hash-sample
+    // (FAISS's own train_size guidance), sized offline like k and nprobe
+    val trainSet = base.select(col("vec_id").as("id"), col("u"))
+      .where(pmod(xxhash64(col("id")), lit(trainMod.toLong)) === 0)
+    val cents = Ivf.train(trainSet, k, iters)
     val probes = base.select(col("vec_id"), Ivf.probeCol(col("u"), cents, nprobe).as("pcells"))
     val assign = probes.select(col("vec_id").as("nid"), element_at(col("pcells"), 1).as("cell"))
     val probe = probes.select(col("vec_id").as("qid"), explode(col("pcells")).as("cell"))
