@@ -177,6 +177,17 @@ object Engine {
    * ids only — vectors rejoin after pairing), so a hot cell is an
    * AQE-splittable shuffle-join key, never a single-task window. The final
    * per-query top-k window ranks ≤ nprobe·n/k rows per qid by construction.
+   *
+   * Cost honesty: with EVERY row as a query (this operator's shape,
+   * mirroring `annLshTopk`), total scan work is n·nprobe·(n/k) — same as
+   * FAISS IVF brute-scanning nprobe lists per query. That is linear only
+   * while k grows with n (constant cell size), and the literal-centroid
+   * codegen caps k at a few hundred before expression size degrades — so
+   * at corpus scale this operator serves the reference's actual FAISS
+   * semantics (a BOUNDED query batch against the full index: filter the
+   * probe side to the query set, work = |Q|·nprobe·n/k), while ALL-PAIRS
+   * near-dup discovery at 10^12 rows stays on the LSH paths above, whose
+   * bucket caps bound work by construction.
    */
   def annIvfTopk(spark: SparkSession, dir: String,
       k: Int = 16, nprobe: Int = 4, iters: Int = 2, trainMod: Int = 1): DataFrame = {
