@@ -114,4 +114,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p.take(400))
     assert(!p.contains("bytes"))
   }
+
+  test("ivf ann plan: posting-list scan is a splittable join, never a cartesian") {
+    val p = plan(graft.queries.Engine.annIvfTopk(spark, dir))
+    // the probe×assign posting scan and both vector rejoins must be
+    // key-joins (AQE can split a hot cell); a CartesianProduct or
+    // BroadcastNestedLoopJoin would mean the cell key got lost
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    // exactly one Window: the final per-query top-k, whose input is bounded
+    // by construction at nprobe*n/k rows per qid — no other operator may
+    // introduce one (train runs OUTSIDE this plan, as build actions)
+    val windows = "\\bWindow \\[".r.findAllIn(p).size
+    assert(windows == 1, s"expected exactly the top-k window, found $windows:\n${p.take(1200)}")
+  }
 }

@@ -137,4 +137,39 @@ class SigSpec extends AnyFunSuite {
       .select(SimHash.hammingCol(col("a"), col("b"))).as[Int].collect()
     assert(got.toSeq == pairs.map { case (a, b) => SimHash.hamming(a, b) })
   }
+
+  test("ivf train: k unit-norm centroids, deterministic, lloyd reduces quantization error") {
+    import graft.sig.Ivf
+    val dim = 8
+    val rnd = new scala.util.Random(7)
+    def unit() = { val v = Array.fill(dim)(rnd.nextGaussian()); val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n) }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize((0L until 200L).map(i => org.apache.spark.sql.Row(i, unit().toSeq))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("u",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))))
+    val k = 4
+    val c0 = Ivf.train(df, k, iters = 0)
+    val c2 = Ivf.train(df, k, iters = 2)
+    assert(c0.length == k && c2.length == k)
+    // spherical k-means keeps centroids on the unit sphere
+    c2.foreach { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9, s"centroid norm $n")
+    }
+    // deterministic: same data, same seeds, same rounds → same centroids
+    val c2b = Ivf.train(df, k, iters = 2)
+    assert(c2.zip(c2b).forall { case (a, b) => a.sameElements(b) })
+    // Lloyd rounds must not worsen the objective: mean best-cosine (the
+    // spherical analog of negative quantization error) rises or holds
+    def objective(cents: Array[Array[Double]]): Double = {
+      val rows = df.collect().map(_.getSeq[Double](1).toArray)
+      rows.map(u => cents.map(c => c.zip(u).map { case (a, b) => a * b }.sum).max).sum / rows.length
+    }
+    val o0 = objective(c0)
+    val o2 = objective(c2)
+    info(f"mean best-cosine: seeds $o0%.4f → lloyd-2 $o2%.4f")
+    assert(o2 >= o0 - 1e-9, f"lloyd iterations degraded the objective: $o0%.4f -> $o2%.4f")
+  }
 }
