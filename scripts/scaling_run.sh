@@ -29,7 +29,7 @@ wait_quiet() {
 
 sbt -batch "runMain graft.ScalingBench gen $ROWS" | grep "\[scaling\]" || true
 
-for round in 1 2 3; do
+for round in $(seq 1 "${ROUNDS:-3}"); do
   for cores in 8 2; do
     wait_quiet
     L0=$(cut -d' ' -f1-3 /proc/loadavg)

@@ -337,7 +337,8 @@ object Engine {
     * is exactly what a real demuxer plugs into. */
   def videoFrames(spark: SparkSession, dir: String, everyK: Int = 2): DataFrame = {
     import spark.implicits._
-    val nVideos = math.max(1L, math.min(synthRows(dir) / 10, 500L))
+    val pool = math.max(1L, synthRows(dir) / 10)
+    val nVideos = math.min(pool, 500L) // demux+decode cost cap for the dump
     graft.gen.Videos.corpus(spark, nVideos).mapPartitions { it =>
       it.flatMap { v =>
         graft.gen.Videos.unpack(v.bytes).zipWithIndex
@@ -349,6 +350,10 @@ object Engine {
           }
       }
     }.toDF("video_id", "frame_idx", "ts_sec", "w", "h", "frame_phash")
+      // the cap is part of the output contract, not a silent truncation
+      // (same disclosure pattern as image_features' decoded_rows)
+      .withColumn("sampled_videos", lit(nVideos))
+      .withColumn("video_pool", lit(pool))
   }
 
   /** Exact dedup by content fingerprint over the synthetic corpus

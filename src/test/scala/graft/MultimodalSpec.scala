@@ -45,7 +45,11 @@ class MultimodalSpec extends AnyFunSuite {
   test("video frame sampling: every k-th frame, real decode, correct timestamps") {
     import spark.implicits._
     val everyK = 2
-    val frames = Engine.videoFrames(spark, dir, everyK)
+    val out = Engine.videoFrames(spark, dir, everyK)
+    // the sampling cap must be disclosed in the output contract
+    assert(out.columns.contains("sampled_videos") && out.columns.contains("video_pool"))
+    val frames = out
+      .select("video_id", "frame_idx", "ts_sec", "w", "h", "frame_phash")
       .as[(String, Int, Double, Int, Int, Long)].collect()
     val nVideos = math.max(1L, math.min(Engine.synthRows(dir) / 10, 500L))
     val perVideo = (Videos.FramesPerVideo + everyK - 1) / everyK
