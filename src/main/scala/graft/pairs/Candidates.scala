@@ -134,7 +134,9 @@ object Candidates {
    */
   def saltedSelfJoin(banded: DataFrame, cap: Int,
       sizes: Option[DataFrame] = None): DataFrame = {
-    val (nonSingleton, bcast) = nonSingletonKeys(banded, sizes)
+    val (nonSingleton, nsKeys) = nonSingletonKeys(banded, sizes)
+    val bcast = nsKeys <= BroadcastKeyCap
+    System.err.println(s"[saltedSelfJoin] nonSingleton keys=$nsKeys broadcast=$bcast")
     val tagJoin =
       if (bcast) broadcast(nonSingleton)
       else nonSingleton.hint("shuffle_hash")
@@ -158,27 +160,49 @@ object Candidates {
    * key); above the cap the generic shuffle shape applies unchanged.
    */
   def saltedSelfJoinSketch(sketch: DataFrame, cap: Int,
-      broadcastKeyCap: Long = BroadcastKeyCap): DataFrame = {
+      broadcastKeyCap: Long = BroadcastKeyCap,
+      filterKeyCap: Long = FilterKeyCap): DataFrame = {
     val banded = sketch.select(col("id"),
       posexplode(col("bks")).as(Seq("band", "bkey")))
-    val (nonSingleton, bcast) = nonSingletonKeys(banded, None, broadcastKeyCap)
+    val (nonSingleton, nsKeys) = nonSingletonKeys(banded, None)
+    // Two independent gates, because their budgets differ by an order of
+    // magnitude. (a) The LongSet GENERATOR FILTER needs only 8B/key of
+    // broadcast payload, so it stays affordable far past the row-broadcast
+    // cap — and losing it is catastrophic, not incremental: the fallback
+    // re-materializes the full band explode (bands x reps rows) AND
+    // shuffles it. Measured at 4M images: the minhash key set (2.2M)
+    // crossed the old single 2M gate and graft:candidates went 10.6x for
+    // 4x rows (620 -> 6,580 run-core-s), dragging 8c scaling efficiency
+    // from 0.744 to 0.545. (b) The m-ATTACH join broadcasts whole rows
+    // (~40B unsafe each); above `broadcastKeyCap` it becomes a shuffle
+    // join — but of the FILTERED survivors (the interesting-collision
+    // rows) against the key set, both tiny next to the explode.
+    // Past `filterKeyCap` (driver-collect budget, ~8B/key + transient Row
+    // boxing) the full shuffle shape is the honest asymptote: at 10^12
+    // rows the non-singleton set scales with the corpus and no driver
+    // holds it; band width is the build parameter that keeps it sane.
+    System.err.println(s"[saltedSelfJoin] nonSingleton keys=$nsKeys " +
+      s"filter=${nsKeys <= filterKeyCap} broadcast=${nsKeys <= broadcastKeyCap}")
     val tagged =
-      if (!bcast) banded.join(nonSingleton.hint("shuffle_hash"), Seq("band", "bkey"))
+      if (nsKeys > filterKeyCap)
+        banded.join(nonSingleton.hint("shuffle_hash"), Seq("band", "bkey"))
       else {
         val mixed = nonSingleton.select(col("band"), col("bkey")).collect()
           .map(r => FilteredBandKeys.mix(r.getInt(0), r.getLong(1)))
         val bset = sketch.sparkSession.sparkContext
           .broadcast(graft.util.LongSet(mixed))
+        val mAttach = if (nsKeys <= broadcastKeyCap) broadcast(nonSingleton)
+                      else nonSingleton.hint("shuffle_hash")
         // inner join on the REAL key columns drops mix-collision false
         // positives and attaches m
         sketch.select(col("id"), FilteredBandKeys.col(col("bks"), bset))
-          .join(broadcast(nonSingleton), Seq("band", "bkey"))
+          .join(mAttach, Seq("band", "bkey"))
       }
     gridPairs(tagged, cap)
   }
 
-  /** Non-singleton (band, bkey, m) keys of `banded`, persisted, plus the
-    * count-gated broadcastability decision.
+  /** Non-singleton (band, bkey, m) keys of `banded`, persisted, plus their
+    * count (the callers' gate input).
     *
     * The FULL size table scales with the key count and must never be
     * broadcast (AQE's runtime conversion tried exactly that and blew
@@ -186,12 +210,12 @@ object Candidates {
     * the interesting-collision set, measured ~79k keys per 1M images
     * against 64M banded rows. When it fits (count gated, not guessed),
     * the tag join is map-side and only tagged survivors reach the grid
-    * exchange. Above the cap the shuffle_hash shape kicks in: the agg
+    * exchange. Above the caps the shuffle_hash shape kicks in: the agg
     * output is already hash-partitioned on (band,bkey), so the join reuses
     * its exchange and only `banded` shuffles. The count() is one action
     * over the size agg; the agg is persisted so no branch recomputes it. */
-  private def nonSingletonKeys(banded: DataFrame, sizes: Option[DataFrame],
-      broadcastKeyCap: Long = BroadcastKeyCap): (DataFrame, Boolean) = {
+  private def nonSingletonKeys(banded: DataFrame,
+      sizes: Option[DataFrame]): (DataFrame, Long) = {
     val nonSingleton = graft.util.Caches.persist(
       sizes.getOrElse(
         banded
@@ -199,10 +223,7 @@ object Candidates {
           .agg(count(lit(1)).as("m")))
         .where(col("m") >= 2)
         .select(col("band"), col("bkey"), col("m")))
-    val nsKeys = nonSingleton.count()
-    val bcast = nsKeys <= broadcastKeyCap
-    System.err.println(s"[saltedSelfJoin] nonSingleton keys=$nsKeys broadcast=$bcast")
-    (nonSingleton, bcast)
+    (nonSingleton, nonSingleton.count())
   }
 
   /** Grid-cell pair emission over the size-tagged non-singleton rows
@@ -250,11 +271,21 @@ object Candidates {
       .select(CellPairs.col(col("ls"), col("rs"), col("si") === col("sj")))
   }
 
-  /** Max non-singleton key count the salted join will broadcast for its
-    * tag-back (~40B/row unsafe → ~80MB at the default). Env-overridable for
-    * A/B profiling; 0 forces the shuffle shape. */
+  /** Max non-singleton key count the salted join will ROW-broadcast for the
+    * m-attach join (~40B/row unsafe → ~80MB at the default). Env-overridable
+    * for A/B profiling; 0 forces the shuffle shape. */
   val BroadcastKeyCap: Long =
     sys.env.get("GRAFT_SALT_BCAST_CAP").map(_.toLong).getOrElse(2000000L)
+
+  /** Max non-singleton key count for the LongSet generator-filter pushdown
+    * (8B/key in the broadcast set; the driver collect's transient Row boxing
+    * is the practical bound). Deliberately far above `BroadcastKeyCap`:
+    * losing the filter costs a full re-explode + shuffle of the banded
+    * table, which measured as a 10.6x blowup of the candidate stage the
+    * first time the key count crossed the old shared 2M gate (4M images,
+    * BENCH/BASELINE.md round-4 4M section). */
+  val FilterKeyCap: Long =
+    sys.env.get("GRAFT_SALT_FILTER_CAP").map(_.toLong).getOrElse(16000000L)
 
   /** MinHash band-key projection of the reps: (id, band, bkey) — the LSH
     * index. Persisted as the `banded` stage so an incremental batch joins

@@ -32,12 +32,14 @@ class CandidatesSpec extends AnyFunSuite {
     assert(naive.size == 3 + 28 + (80 * 79) / 2)
   }
 
-  test("sketch salted self-join == naive pair set on both branches") {
+  test("sketch salted self-join == naive pair set on all three tiers") {
     import spark.implicits._
-    // multi-band sketches with a planted hot key in band 2: the broadcast
-    // branch (FilteredBandKeys generator + LongSet) and the shuffle branch
-    // must both reproduce the naive exploded self-join's pair SET (pairs
-    // may repeat across bands; the verifier dedups downstream)
+    // multi-band sketches with a planted hot key in band 2: all three gate
+    // tiers — (a) LongSet filter + row-broadcast m-attach, (b) LongSet
+    // filter + shuffle m-attach (key set past the row-broadcast cap but
+    // under the filter cap), (c) full shuffle (past both) — must reproduce
+    // the naive exploded self-join's pair SET (pairs may repeat across
+    // bands; the verifier dedups downstream)
     val cap = 8
     val rnd = new scala.util.Random(7)
     val rows = (0 until 200).map { i =>
@@ -55,9 +57,14 @@ class CandidatesSpec extends AnyFunSuite {
 
     val bcast = Candidates.saltedSelfJoinSketch(sketch, cap)
       .as[(String, String)].collect().toSet
-    val shuffle = Candidates.saltedSelfJoinSketch(sketch, cap, broadcastKeyCap = 0)
+    val filterShuffleM = Candidates.saltedSelfJoinSketch(sketch, cap,
+        broadcastKeyCap = 0)
+      .as[(String, String)].collect().toSet
+    val shuffle = Candidates.saltedSelfJoinSketch(sketch, cap,
+        broadcastKeyCap = 0, filterKeyCap = 0)
       .as[(String, String)].collect().toSet
     assert(bcast == naive)
+    assert(filterShuffleM == naive)
     assert(shuffle == naive)
   }
 
