@@ -225,8 +225,14 @@ object Layout {
       keyCols: Seq[String], partitionBy: String = "batch")(updates: DataFrame): Long = {
     val dir = s"$root/$stage"
     val cur = read(spark, root, stage)
-    val keys = updates.select(keyCols.map(org.apache.spark.sql.functions.col): _*).distinct()
     import org.apache.spark.sql.functions._
+    // two updates for one key would fan the left join out and silently grow
+    // the partition (breaking the manifest's row counts); updates is
+    // QA-scale, so the uniqueness probe is one tiny job
+    val nUpd = updates.count()
+    val keys = updates.select(keyCols.map(col): _*).distinct()
+    require(keys.count() == nUpd,
+      s"mergeStage updates must be unique on (${keyCols.mkString(", ")})")
     val matchedRows = cur.join(broadcast(keys), keyCols)
     val affected = matchedRows
       .select(col(partitionBy).cast("string")).distinct()

@@ -88,7 +88,10 @@ class QaSpec extends AnyFunSuite {
       c1.get(s).exists(cid => sizes(cid) == 2) && c1.get(s) == c1.get(d)
     }.getOrElse(fail("need a 2-member cluster edge"))
 
-    Qa.reclassify(spark, root, es, ed, "split", cfg)
+    // the two-step form (record override, then refresh) — what a triage UI
+    // batching several human actions into one re-derivation calls
+    Qa.forceSplit(spark, root, es, ed)
+    Qa.refreshGlobal(spark, root, cfg)
     val c2 = clustersOf
     assert(c2(es) != c2(ed), "force-split must separate a pair whose only link it was")
 
@@ -96,10 +99,19 @@ class QaSpec extends AnyFunSuite {
     val singles = c2.toSeq.groupBy(_._2).filter(_._2.size == 1)
       .keys.toSeq.sorted.take(2)
     val Seq(sa, sb) = singles.map(cid => c2.find(_._2 == cid).get._1)
+    // the one-shot form (override + refresh in one call)
     Qa.reclassify(spark, root, sa, sb, "link", cfg)
     val c3 = clustersOf
     assert(c3(sa) == c3(sb), "force-link must merge the pair's clusters")
     assert(c3(es) != c3(ed), "earlier split override still applies")
+
+    // -- reject: terminal status, row never enters the corpus ---------------
+    val lqRest = lqIds.filterNot(_ == lq)
+    assert(lqRest.nonEmpty, "need a second quarantined row for the reject case")
+    val rej = lqRest.head
+    Qa.reject(spark, root, Seq(rej))
+    assert(spark.read.parquet(s"$root/low_quality")
+      .where(col("image_id") === rej).select("status").as[String].head() == Qa.Rejected)
 
     // -- overrides survive a later incremental append -----------------------
     val more = Synth.corpus(spark, 900).toDF()
@@ -108,5 +120,6 @@ class QaSpec extends AnyFunSuite {
     val c4 = clustersOf
     assert(c4(sa) == c4(sb), "link override must survive the append's re-derivation")
     assert(c4(es) != c4(ed), "split override must survive the append's re-derivation")
+    assert(!c4.contains(rej), "rejected row stays out of the cluster space")
   }
 }
