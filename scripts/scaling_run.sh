@@ -29,6 +29,10 @@ wait_quiet() {
 
 sbt -batch "runMain graft.ScalingBench gen $ROWS" | grep "\[scaling\]" || true
 
+# env passthrough: GRAFT_SHUFFLE_PARTITIONS sizes shuffles to the DATA
+# instead of the core count — required at >=4M rows, where partitions=cores
+# puts the aggregation hash maps into the sort-fallback spill regime on the
+# high-core side (BENCH/BASELINE.md round-4f)
 for round in $(seq 1 "${ROUNDS:-3}"); do
   for cores in 8 2; do
     wait_quiet

@@ -22,7 +22,15 @@ object Sessions {
     val b = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .appName(appName)
-      .config("spark.sql.shuffle.partitions", cpus)
+      // partitions default to cores (local mode has no reason for 200), but
+      // a real deployment sizes them to the DATA, not the core count: at
+      // fixed partitions=cores, per-task aggregation state grows linearly
+      // with the corpus and eventually trips the hash-agg sort fallback
+      // (measured: the 4M banded size-agg burned 17x the CPU of its 1M twin
+      // at 4x the bytes — BENCH/BASELINE.md round-4 4M section). The env
+      // override is the sandbox stand-in for that sizing decision.
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", cpus))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.sql.join.preferSortMergeJoin", "false")
