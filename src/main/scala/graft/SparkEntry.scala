@@ -83,6 +83,8 @@ object SparkEntry {
     "image_features" -> (Engine.imageFeatures(_, _)),
     "image_thumbnails" -> (Engine.imageThumbnails(_, _)),
     "video_frames" -> (Engine.videoFrames(_, _)),
+    "audio_features" -> (Engine.audioFeatures(_, _)),
+    "audio_dup_pairs" -> (Engine.audioDupPairs(_, _)),
     "exact_dedup_corpus" -> (Engine.exactDedupCorpus(_, _)),
     "substring_pairs_corpus" -> (Engine.substringPairsCorpus(_, _))
   )

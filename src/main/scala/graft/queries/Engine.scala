@@ -356,6 +356,53 @@ object Engine {
       .withColumn("video_pool", lit(pool))
   }
 
+  /** Multimodal audio: decode the opaque WAV column (REAL RIFF/PCM codec —
+    * `gen/Audio.scala`, nothing stubbed) and emit typed per-clip features:
+    * duration, RMS level, zero-crossing rate, and a 64-bit gain-invariant
+    * energy-delta fingerprint (Haitsma–Kalker time-axis form). Same
+    * mapPartitions batch shape as `imageFeatures`; AudioSpec pins the
+    * analytic oracles (RMS of a pure sine = A/√2, ZCR ≈ 2f) and the
+    * fingerprint's exact gain invariance. */
+  def audioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pool = math.max(1L, synthRows(dir) / 10)
+    val n = math.min(pool, 500L) // decode cost cap for the dump
+    graft.gen.Audio.corpus(spark, n).mapPartitions { it =>
+      it.map { a =>
+        val (sr, xs) = graft.gen.Audio.unpackWav(a.bytes)
+        (a.audio_id, sr, xs.length, xs.length.toDouble / sr,
+          graft.gen.Audio.rms(xs), graft.gen.Audio.zcrPerSec(xs, sr),
+          graft.gen.Audio.fingerprint(xs))
+      }
+    }.toDF("audio_id", "sample_rate", "n_samples", "duration_sec",
+        "rms", "zcr_per_sec", "fingerprint")
+      .withColumn("decoded_clips", lit(n))
+      .withColumn("clip_pool", lit(pool))
+  }
+
+  /** Audio near-dup pairs: because the fingerprint is a 64-bit code, the
+    * IMAGE dedup machinery applies to audio unchanged — SimHash combo-key
+    * banding (pigeonhole recall for Hamming ≤ bands−agree), the salted
+    * grid join, and the Hamming verify. One fingerprint column is the
+    * whole modality adapter; everything downstream is shared, which is
+    * the point of the multimodal-column design. */
+  def audioDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = DedupConfig.default
+    val feat = maybePersist(
+      audioFeatures(spark, dir).select(col("audio_id").as("id"), col("fingerprint").as("fp")))
+    val pairs = Candidates.saltedSelfJoinSketch(
+      feat.select(col("id"),
+        SimHash.comboKeysNativeCol(col("fp"), cfg.phashBands, cfg.phashAgree).as("bks")),
+      cfg.bucketSizeCap).distinct()
+    pairs
+      .join(feat.select(col("id").as("src"), col("fp").as("fa")), "src")
+      .join(feat.select(col("id").as("dst"), col("fp").as("fb")), "dst")
+      .where(SimHash.hammingCol(col("fa"), col("fb")) <= cfg.maxHamming)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"),
+        SimHash.hammingCol(col("fa"), col("fb")).as("hamming"))
+  }
+
   /** Exact dedup by content fingerprint over the synthetic corpus
     * (groupBy-hash exact dedup; non-trivial because the corpus plants
     * byte-identical rows). */
