@@ -97,12 +97,16 @@ class QaSpec extends AnyFunSuite {
 
     // -- force-link two unrelated singletons --------------------------------
     val singles = c2.toSeq.groupBy(_._2).filter(_._2.size == 1)
-      .keys.toSeq.sorted.take(2)
-    val Seq(sa, sb) = singles.map(cid => c2.find(_._2 == cid).get._1)
+      .keys.toSeq.sorted.take(4)
+    val Seq(sa, sb, sc, sd) = singles.map(cid => c2.find(_._2 == cid).get._1)
     // the one-shot form (override + refresh in one call)
     Qa.reclassify(spark, root, sa, sb, "link", cfg)
+    // the two-step form: record the override now, refresh with the rest
+    Qa.forceLink(spark, root, sc, sd)
+    Qa.refreshGlobal(spark, root, cfg)
     val c3 = clustersOf
     assert(c3(sa) == c3(sb), "force-link must merge the pair's clusters")
+    assert(c3(sc) == c3(sd), "batched force-link applies on the next refresh")
     assert(c3(es) != c3(ed), "earlier split override still applies")
 
     // -- reject: terminal status, row never enters the corpus ---------------

@@ -33,6 +33,24 @@ class SigSpec extends AnyFunSuite {
     }
   }
 
+  test("fused span-hash expression == hashing the HOF shingle strings") {
+    // Third witness for NormShingleHashes' span-hash trick: building the
+    // shingle STRINGS with the readable HOF composition and hashing them
+    // with the builtin xxhash64 must give the same array (values and order).
+    import spark.implicits._
+    val captions = (0L until 200L).map(i => Synth.describe(42L, i)._2) ++
+      Seq("", "one two", "a b c d")
+    val viaStrings = captions.toDF("c")
+      .select(transform(Shingle.shinglesCol(col("c"), cfg.shingleSize), s => xxhash64(s)))
+      .as[Seq[Long]].collect()
+    val fused = captions.toDF("c")
+      .select(Shingle.shingleHashesCol(col("c"), cfg.shingleSize))
+      .as[Seq[Long]].collect()
+    captions.indices.foreach { i =>
+      assert(viaStrings(i) == fused(i), s"caption: ${captions(i)}")
+    }
+  }
+
   test("shingles handle short and empty captions") {
     assert(Shingle.shingles("", 3).isEmpty)
     assert(Shingle.shingles("one two", 3).toSeq == Seq("one two"))
