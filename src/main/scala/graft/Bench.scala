@@ -79,13 +79,22 @@ object Bench {
       System.err.println(s"[bench] warm dir $warmDir absent — skipping warm pass (cold JIT)")
     }
 
-    headline.foreach { name =>
-      val fn = SparkEntry.queries(name)
-      val (_, sec) = time(fn(spark, sfDir).count())
-      results(name) = sec
+    // Isolate each measurement: earlier queries' persisted frames and dead
+    // broadcast state otherwise bill their old-gen collection to whichever
+    // later query the GC lands on (measured: q21 at 20.8/23.0 s mid-sequence
+    // in two full-bench JVMs vs 6.1 s with the identical warm-then-measure
+    // protocol in isolation, with 3 s of GC inside even the isolated run).
+    def isolate(): Unit = {
+      graft.util.Caches.releaseAll()
+      spark.sqlContext.clearCache()
+      System.gc()
     }
-
-    // dedup pipeline: materialize the corpus first, then run the engine
+    // dedup pipeline FIRST, while the JVM is cleanest: measured on this box,
+    // the identical pipeline medians 26-37 s in a young JVM but 52-110 s
+    // after ~48 headline-plan executions have filled metaspace/old-gen with
+    // dead codegen classes and broadcast state that System.gc() does not
+    // fully claw back. The flagship number should not pay for the side
+    // queries' JVM wear.
     val n = Engine.synthRows(sfDir)
     val corpusPath = s"target/bench-corpus-$n"
     val (_, genSec) = time {
@@ -100,24 +109,45 @@ object Bench {
     // in between — the timed run recomputes every stage (features included)
     // with compiled code, which is what a long-lived cluster JVM sustains.
     Dedup.run(spark, input, DedupConfig.default).clusters.count()
-    graft.util.Caches.releaseAll()
-    spark.sqlContext.clearCache()
-    // the 12 headline queries + warm pass leave the driver old-gen full of
-    // dead cache/broadcast state; without this the timed pass can pay their
-    // collection mid-run (measured same-build pipeline spread 28.5 s fresh
-    // JVM vs 44 s late in a bench JVM with ambient near zero)
-    System.gc()
-    val (clusters, pipeSec) = time {
-      val r = Dedup.run(spark, input, DedupConfig.default)
-      r.clusters.count()
+    isolate()
+    // median of 3 timed passes: single-shot pipeline walls on this box
+    // spread up to 3x under IO-latency bursts and old-gen GC (protocol
+    // section of BENCH/BASELINE.md)
+    var clusters = 0L
+    val pipeSecs = (1 to 3).map { _ =>
+      val (c, sec) = time {
+        val r = Dedup.run(spark, input, DedupConfig.default)
+        r.clusters.count()
+      }
+      isolate()
+      clusters = c
+      sec
+    }
+    val pipeSec = pipeSecs.sorted.apply(pipeSecs.size / 2)
+
+    // median of 3 per query, isolated reps: single-shot walls on this box
+    // spread up to 3x under IO-latency bursts (ann_lsh_topk measured 4.5 /
+    // 11.2 / 17.0 s across three same-build bench JVMs)
+    val allReps = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    headline.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val secs = (1 to 3).map { _ =>
+        val (_, sec) = time(fn(spark, sfDir).count())
+        isolate()
+        sec
+      }
+      allReps(name) = secs
+      results(name) = secs.sorted.apply(secs.size / 2)
     }
     results("pipeline_dedup") = pipeSec
 
     // incremental/streaming path (the reference's actual request-driven
-    // shape): bootstrap 90% of the corpus checkpointed, then absorb 10
+    // shape): bootstrap 90% of the corpus checkpointed, then absorb 5
     // batches of 1% each through Incremental.append — per-epoch latency is
     // what a continuously-fed deployment pays per arrival wave, vs the
-    // full-recompute `pipeline_dedup` above
+    // full-recompute `pipeline_dedup` above. 5 epochs bound the median as
+    // well as 10 did and halve this section's share of the bench wall
+    // (it was ~10 of 17 minutes)
     val incRoot = s"target/bench-incr-$n"
     org.apache.hadoop.fs.FileSystem.getLocal(new org.apache.hadoop.conf.Configuration())
       .delete(new org.apache.hadoop.fs.Path(incRoot), true)
@@ -128,9 +158,9 @@ object Bench {
     }
 
     val epochRows = scala.collection.mutable.ArrayBuffer.empty[Long]
-    val epochSecs = (0 until 10).map { i =>
+    val epochSecs = (0 until 5).map { i =>
       val lo = cut + i * (n - cut) / 10
-      val hi = if (i == 9) n else cut + (i + 1) * (n - cut) / 10
+      val hi = cut + (i + 1) * (n - cut) / 10
       val batch = input.where(col("image_id") >= f"img-$lo%010d" &&
         col("image_id") < f"img-$hi%010d")
       epochRows += (hi - lo)
@@ -142,6 +172,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = f"${results.values.sum}%.3f"
     val ips = f"${n / pipeSec}%.1f"
+    val pipeAll = pipeSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
+    val repsAll = allReps.map { case (k, v) =>
+      "\"" + k + "\":" + v.map(s => f"$s%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     // incremental numbers are REPORTED OUTSIDE total/queries: they measure a
     // different deployment shape (per-arrival-wave latency), and folding ten
     // epoch walls into `total` would make round-over-round totals
@@ -159,7 +193,7 @@ object Bench {
     val pcts = f""""query_sec_p50":${pct(0.5)}%.3f,"query_sec_p95":${pct(0.95)}%.3f,"query_sec_p99":${pct(0.99)}%.3f"""
     val loadEnd = loadavg1
     val loadF = f""""load_start":$loadStart%.2f,"load_end":$loadEnd%.2f,"quiet_wait_sec":$quietWaitSec%.1f"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$pcts,"sf":"$sfDir","pipeline_rows":$n,"pipeline_clusters":$clusters,"images_per_sec":$ips,$incF,$loadF}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$pcts,"sf":"$sfDir","pipeline_rows":$n,"pipeline_clusters":$clusters,"images_per_sec":$ips,"pipeline_sec_all":$pipeAll,"queries_sec_all":$repsAll,$incF,$loadF}""")
     spark.stop()
   }
 }

@@ -94,15 +94,23 @@ object ProfileCandidates {
       spark.stop(); return
     }
 
-    val feats = spark.read.parquet(args(0))
-    val clean = feats.where(!col("is_low_quality")).cache()
-    println(s"clean rows: ${clean.count()}")
+    // docs/q21 read the sf tables directly — no features dir required
     if (only.contains("docs")) {
       val timer = StageTimer.attach(spark)
       time("mh-docs-1") { graft.queries.Engine.minhashCandidatesDocs(spark, "/root/testdata/sf0.1").count() }
       time("mh-docs-2") { graft.queries.Engine.minhashCandidatesDocs(spark, "/root/testdata/sf0.1").count() }
       time("mh-docs-3") { graft.queries.Engine.minhashCandidatesDocs(spark, "/root/testdata/sf0.1").count() }
       timer.report(10)
+      spark.stop(); return
+    }
+    if (only.contains("q21bench")) {
+      // replicate Bench's exact q21 protocol: warm the plan on sf0.001,
+      // clear all caches + memo, then time the cold sf0.1 computation
+      graft.SparkEntry.queries("q21_ngram_jaccard")(spark, "/root/testdata/sf0.001").count()
+      graft.util.Caches.releaseAll(); spark.sqlContext.clearCache()
+      val timer = StageTimer.attach(spark)
+      time("q21-bench") { graft.SparkEntry.queries("q21_ngram_jaccard")(spark, "/root/testdata/sf0.1").count() }
+      timer.report(14)
       spark.stop(); return
     }
     if (only.contains("q21")) {
@@ -113,6 +121,10 @@ object ProfileCandidates {
       timer.report(14)
       spark.stop(); return
     }
+
+    val feats = spark.read.parquet(args(0))
+    val clean = feats.where(!col("is_low_quality")).cache()
+    println(s"clean rows: ${clean.count()}")
     if (only.contains("union")) {
       val timer = StageTimer.attach(spark)
       time("union-all") { Dedup.candidates(clean, cfg).count() }
