@@ -168,6 +168,23 @@ object Bench {
     }
     val epochMedian = epochSecs.sorted.apply(epochSecs.size / 2)
 
+    // read-only serving probe (Probe.run): the held-out last 5% evaluated
+    // against the bootstrapped root with NO state mutation — the reference's
+    // request-shaped "is this a duplicate?" check. Prices the serving path
+    // against incremental_epoch_sec, whose wall is dominated by the 14-stage
+    // checkpoint re-derivation the probe never pays. Median of 3 (read-only,
+    // so reps are identical work).
+    val hi5 = cut + 5 * (n - cut) / 10
+    val probeBatch = input.where(col("image_id") >= f"img-$hi5%010d")
+    val probeRows = n - hi5
+    val probeSecs = (1 to 3).map { _ =>
+      val (_, sec) = time(
+        Probe.run(spark, incRoot, probeBatch, DedupConfig.default).outcomes.count())
+      isolate()
+      sec
+    }
+    val probeMedian = probeSecs.sorted.apply(probeSecs.size / 2)
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = f"${results.values.sum}%.3f"
@@ -180,7 +197,7 @@ object Bench {
     // different deployment shape (per-arrival-wave latency), and folding ten
     // epoch walls into `total` would make round-over-round totals
     // incomparable
-    val incF = f""""incremental_bootstrap_sec":$bootSec%.3f,"incremental_epoch_sec":$epochMedian%.3f,"incremental_rows_per_sec":${epochRows.sum / epochSecs.sum}%.1f"""
+    val incF = f""""incremental_bootstrap_sec":$bootSec%.3f,"incremental_epoch_sec":$epochMedian%.3f,"incremental_rows_per_sec":${epochRows.sum / epochSecs.sum}%.1f,"probe_batch_sec":$probeMedian%.3f,"probe_rows":$probeRows,"probe_rows_per_sec":${probeRows / probeMedian}%.1f"""
     // per-query latency percentiles (reference harness shape,
     // benchmarks/run_benchmarks.py:72-98): exact linear interpolation,
     // same definition as q33 / DuckDB quantile_cont

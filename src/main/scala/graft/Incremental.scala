@@ -92,7 +92,7 @@ object Incremental {
     * downstream positional `union` would silently flip every pair, turning
     * src<dst arrival order on its head (a later row would block an earlier
     * one; caught by StreamingSpec's boundary pair). */
-  private def pairsTouching(pairs: DataFrame, ids: DataFrame): DataFrame =
+  private[graft] def pairsTouching(pairs: DataFrame, ids: DataFrame): DataFrame =
     pairs
       .join(broadcast(ids.select(col("id").as("src"), lit(true).as("sNew"))), Seq("src"), "left")
       .join(broadcast(ids.select(col("id").as("dst"), lit(true).as("dNew"))), Seq("dst"), "left")

@@ -80,6 +80,7 @@ object SparkEntry {
     "pipeline_cluster_stats" -> (Engine.pipelineClusterStats(_, _)),
     "pipeline_audit" -> (Engine.pipelineAudit(_, _)),
     "pipeline_history" -> (Engine.pipelineHistory(_, _)),
+    "pipeline_probe" -> (Engine.pipelineProbe(_, _)),
     "image_features" -> (Engine.imageFeatures(_, _)),
     "image_thumbnails" -> (Engine.imageThumbnails(_, _)),
     "video_frames" -> (Engine.videoFrames(_, _)),

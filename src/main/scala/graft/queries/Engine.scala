@@ -244,6 +244,31 @@ object Engine {
   def pipelineClusters(spark: SparkSession, dir: String): DataFrame =
     runPipeline(spark, dir).clusters
 
+  /** Read-only point-lookup serving (`Probe.run`, the reference's
+    * request-shaped `process_incoming_bug` check): bootstrap 95% of the
+    * corpus into a checkpointed root once per (session, dir), then probe the
+    * held-out 5% against its persisted index stages — one outcome row per
+    * probed input, zero state mutation (ProbeSpec pins byte parity with what
+    * an append of the same batch would decide). The root is resumable, so a
+    * re-dump skips straight to the probe. */
+  private val probeRootMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  graft.util.Caches.onRelease(t => if (t.isEmpty) probeRootMemo.clear())
+
+  def pipelineProbe(spark: SparkSession, dir: String): DataFrame = {
+    val n = synthRows(dir)
+    val cut = f"img-${n * 95 / 100}%010d"
+    val corpus = Synth.corpus(spark, n).toDF()
+    val root = probeRootMemo.getOrElseUpdate(
+      s"${graft.util.Caches.sessionId(spark)}:$dir", {
+        val r = s"target/probe-root-$n"
+        graft.Dedup.runCheckpointed(spark, corpus.where(col("image_id") < cut), r)
+        graft.Incremental.ensureIndexes(spark, r)
+        r
+      })
+    graft.Probe.run(spark, root, corpus.where(col("image_id") >= cut)).outcomes
+  }
+
   def pipelineDecisions(spark: SparkSession, dir: String): DataFrame =
     runPipeline(spark, dir).decisions
       .select("image_id", "decision", "best_match_id", "best_score", "cluster_id")

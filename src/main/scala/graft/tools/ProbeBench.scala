@@ -1,0 +1,69 @@
+package graft.tools
+
+import org.apache.spark.sql.functions.col
+
+import graft.config.DedupConfig
+import graft.gen.Synth
+
+/**
+ * Serving-path scale measurement: bootstrap a pre-materialized corpus into a
+ * checkpointed root (resumable — re-runs skip straight to probing), then
+ * time read-only `Probe.run` batches against it. Evidences the probe's
+ * design claim: per-probe work is proportional to the BATCH and the index
+ * slices it touches, not the corpus — the number `incremental_epoch_sec`
+ * cannot show because appends pay the full stage-checkpoint floor.
+ *
+ *   sbt "runMain graft.tools.ProbeBench <corpusParquet> <corpusRows> <probeRows>"
+ *
+ * Probe rows are Synth rows [corpusRows, corpusRows+probeRows) — unseen by
+ * the corpus, ids sorting after it (generation is a pure function of
+ * (seed, index), so the corpus prefix is unchanged) — materialized via an
+ * eager localCheckpoint BEFORE timing so image encode cost stays out of the
+ * serving number.
+ */
+object ProbeBench {
+
+  private def loadavg1: Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  def main(args: Array[String]): Unit = {
+    val Array(corpusPath, corpusRowsS, probeRowsS) = args.take(3)
+    val nCorpus = corpusRowsS.toLong
+    val probeN = probeRowsS.toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.util.Sessions.build("graft-probe-bench", cpus)
+
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val root = s"target/probe-bench-root-$nCorpus"
+    val input = spark.read.parquet(corpusPath)
+    val (_, bootSec) = time {
+      graft.Dedup.runCheckpointed(spark, input, root, DedupConfig.default)
+      graft.Incremental.ensureIndexes(spark, root)
+    }
+
+    val batch = Synth.corpus(spark, nCorpus + probeN).toDF()
+      .where(col("image_id") >= f"img-$nCorpus%010d")
+      .localCheckpoint()
+    require(batch.count() == probeN)
+
+    val loadStart = loadavg1
+    val secs = (1 to 3).map { _ =>
+      val (_, sec) = time(
+        graft.Probe.run(spark, root, batch, DedupConfig.default).outcomes.count())
+      graft.util.Caches.releaseAll()
+      spark.sqlContext.clearCache()
+      System.gc()
+      sec
+    }
+    val median = secs.sorted.apply(secs.size / 2)
+    val all = secs.map(s => f"$s%.2f").mkString("[", ",", "]")
+    println(f"""{"corpus_rows":$nCorpus,"probe_rows":$probeN,"bootstrap_sec":$bootSec%.1f,"probe_sec":$median%.2f,"probe_sec_all":$all,"probe_rows_per_sec":${probeN / median}%.1f,"cores":$cpus,"load_start":$loadStart%.2f,"load_end":$loadavg1%.2f}""")
+    spark.stop()
+  }
+}
