@@ -13,7 +13,7 @@ import graft.util.Sessions
  *
  * Sandbox protocol (BENCH/BASELINE.md): no real cluster exists here, so N
  * and 4N executors are modeled as two local[k] core counts — the shipped
- * protocol is N=2 vs 4N=8 cores (scripts/scaling.sh), chosen because
+ * protocol is N=2 vs 4N=8 cores (scripts/scaling_run.sh), chosen because
  * tools/CpuScaleProbe measured this box's vCPUs anti-scaling beyond ~8
  * threads. Same input, same JVM memory, `spark.sql.shuffle.partitions`
  * scaled with cores; efficiency = (T_N / T_4N) / 4. The core counts are
@@ -22,7 +22,7 @@ import graft.util.Sessions
  * Measurement hygiene (learned the hard way — a single-JVM back-to-back
  * comparison produced local[8] "beating" local[32] 2x purely through JIT
  * warmup order):
- *  - each configuration runs in its OWN JVM (scripts/scaling.sh launches
+ *  - each configuration runs in its OWN JVM (scripts/scaling_run.sh launches
  *    one `measure` invocation per cluster size);
  *  - each JVM warms up on a 10%-slice pipeline run before measuring;
  *  - the corpus is pre-materialized parquet (`gen`), so generator cost and

@@ -279,6 +279,96 @@ object Layout {
     matched
   }
 
+  /**
+   * Small-file compaction — the Iceberg `rewrite_data_files` maintenance
+   * action this facade fronts. Incremental ingest appends ONE partition per
+   * batch (`Incremental.append`), each written by as many tasks as the job
+   * has slots; months of small epochs leave a stage with thousands of
+   * KB-sized files whose open/footer/seek cost — not row count — dominates
+   * every later scan. The reference's analog is the scheduled FAISS rebuild
+   * that re-packs accumulated incremental inserts into one flat index
+   * (`app/tasks.py:157-185`, `app/utils/vector_store.py:116-136`).
+   *
+   * Rewrites each qualifying partition's files into
+   * `ceil(rows / targetRowsPerFile)` files (a `coalesce` within the
+   * partition — narrow dependency, no shuffle), preserving the row multiset,
+   * the partition VALUES (incremental resume and per-batch metrics key on
+   * them — batches are never merged), and the manifest's row counts; only
+   * the file layout changes. A partition qualifies when it has more than
+   * `ceil(rows / targetRowsPerFile)` files and at least `minFiles`; already
+   * compact partitions are not read, not even listed into the rewrite.
+   * Swap-in is the same two-rename crash dance as `mergeStage` (old files
+   * parked outside the stage dir, so a crash leaves either the old or the
+   * new layout, never a missing partition), and the action is idempotent —
+   * re-running it finds nothing left to compact.
+   *
+   * One write job per rewritten partition: compaction is offline
+   * maintenance, each partition's swap is independently crash-safe, and a
+   * real deployment fans the per-partition jobs across a maintenance
+   * cluster. Returns (partitionsRewritten, filesBefore, filesAfter) counted
+   * over the whole stage.
+   */
+  def compactStage(spark: SparkSession, root: String, stage: String,
+      partitionBy: String = "batch", targetRowsPerFile: Long = 4L * 1024 * 1024,
+      minFiles: Int = 2): (Int, Long, Long) = {
+    require(isComplete(root, stage), s"cannot compact incomplete stage $stage")
+    val dir = s"$root/$stage"
+    val fs = fsFor(new Path(dir))
+    val parts = partitionRows(root, stage)
+    require(parts.nonEmpty, s"stage $stage has no per-partition manifest entries")
+
+    def filesIn(p: Path): Seq[Path] = {
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.map(_.getPath).filter(_.getName.endsWith(".parquet"))
+    }
+
+    val before = listParquetFiles(dir)
+    val plan = parts.toSeq.sortBy(_._1).flatMap { case (pv, rows) =>
+      val target = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+      val have = filesIn(new Path(s"$dir/$partitionBy=$pv")).size
+      if (have > target && have >= minFiles) Some((pv, target)) else None
+    }
+    if (plan.isEmpty) return (0, before, before)
+
+    val tmp = s"$root/_compact_tmp_$stage"
+    val bak = new Path(s"$root/_compact_old_$stage")
+    fs.delete(new Path(tmp), true)
+    fs.delete(bak, true)
+    fs.mkdirs(bak)
+    plan.foreach { case (pv, target) =>
+      val live = new Path(s"$dir/$partitionBy=$pv")
+      val fresh = new Path(s"$tmp/$partitionBy=$pv")
+      // the partition column lives in the directory name, not the files, so
+      // reading the partition dir yields exactly the stored file schema and
+      // the rewrite round-trips it unchanged
+      described(spark, s"graft:compact:$stage/$pv") {
+        spark.read.parquet(live.toString).coalesce(target)
+          .write.mode(SaveMode.Overwrite).parquet(fresh.toString)
+      }
+      // the job-commit marker must not ride the swap into the partition dir
+      fs.delete(new Path(fresh, "_SUCCESS"), false)
+      val old = new Path(s"$bak/$partitionBy=$pv")
+      if (!fs.rename(live, old))
+        throw new java.io.IOException(s"compact swap failed: $live -> $old")
+      if (!fs.rename(fresh, live)) {
+        fs.rename(old, live)
+        throw new java.io.IOException(s"compact swap failed: $fresh -> $live")
+      }
+    }
+    fs.delete(bak, true)
+    fs.delete(new Path(tmp), true)
+
+    // rows and partition map are unchanged by construction; rewrite the
+    // manifest so its `files` count reflects the new layout
+    val schema = markerRead(manifestPath(root, stage))
+      .flatMap(""""schema":(\{[^}]*\})""".r.findFirstMatchIn(_).map(_.group(1)))
+      .getOrElse("{}")
+    writeManifest(root, stage, math.max(manifestRows(root, stage), 0L),
+      Seq(partitionBy), parts, schema)
+    synchronized(cachedStages.remove((root, stage))).foreach(_.unpersist(false))
+    (plan.size, before, listParquetFiles(dir))
+  }
+
   /** Drop a stage's manifest so the next runStage recomputes it (the
     * Overwrite write replaces the data files), and release the stage's
     * cached handle — in a long-running stream each epoch re-derives the
