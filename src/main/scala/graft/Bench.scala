@@ -22,6 +22,14 @@ import graft.queries.Engine
  * disabled (GRAFT_QUIET_MAX=0), the bench first waits up to
  * GRAFT_QUIET_TIMEOUT_SEC (default 300) for 1-min load <= GRAFT_QUIET_MAX
  * (default 4.0), then measures regardless, recording how long it waited.
+ *
+ * Disk safety (round 4's failure mode — ENOSPC from a dirty sandbox, see
+ * `util.Disk`): stale bench/scratch dirs are swept on startup, the session's
+ * `spark.local.dir` is bench-owned and deleted in a finally along with the
+ * bench's own corpus/root outputs, free disk is preflighted (refuse to start
+ * under `GRAFT_MIN_FREE_GB`, default 10) and recorded in the JSON, and the
+ * JVM hard-exits on completion so no lingering non-daemon thread can keep
+ * writing shuffle state after the result is printed.
  */
 object Bench {
 
@@ -41,13 +49,39 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    graft.util.Disk.sweepStale()
+    val diskFreeStart = graft.util.Disk.freeGb()
+    val minFree = sys.env.getOrElse("GRAFT_MIN_FREE_GB", "10").toDouble
+    if (diskFreeStart < minFree) {
+      System.err.println(f"[bench] refusing to start: ${diskFreeStart}%.1f GiB free " +
+        f"< $minFree%.1f GiB floor (a mid-run ENOSPC corrupts the measurement " +
+        "anyway; free disk or lower GRAFT_MIN_FREE_GB)")
+      sys.exit(3)
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val quietMax = sys.env.getOrElse("GRAFT_QUIET_MAX", "4.0").toDouble
     val quietTimeout = sys.env.getOrElse("GRAFT_QUIET_TIMEOUT_SEC", "300").toInt
     val quietWaitSec = waitQuiet(quietMax, quietTimeout)
     val loadStart = loadavg1
-    val spark = graft.util.Sessions.build("graft-bench", cpus)
+    val localDir = graft.util.Disk.ownLocalDir("bench")
+    val spark = graft.util.Sessions.build("graft-bench", cpus,
+      Map("spark.local.dir" -> localDir))
+    val ownedDirs = scala.collection.mutable.ArrayBuffer[String](localDir)
+    try {
+      body(spark, sfDir, quietWaitSec, loadStart, diskFreeStart, ownedDirs)
+    } finally {
+      try spark.stop() catch { case _: Throwable => }
+      ownedDirs.foreach(graft.util.Disk.rm)
+    }
+    // non-daemon stragglers (round 4: bench/test JVMs alive 5+ min after
+    // success, still holding Spark temp dirs) must not outlive the result
+    sys.exit(0)
+  }
+
+  private def body(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      quietWaitSec: Double, loadStart: Double, diskFreeStart: Double,
+      ownedDirs: scala.collection.mutable.ArrayBuffer[String]): Unit = {
 
     def time[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime()
@@ -97,6 +131,7 @@ object Bench {
     // queries' JVM wear.
     val n = Engine.synthRows(sfDir)
     val corpusPath = s"target/bench-corpus-$n"
+    ownedDirs += corpusPath
     val (_, genSec) = time {
       Synth.corpus(spark, n).write.mode("overwrite").parquet(corpusPath)
     }
@@ -149,6 +184,7 @@ object Bench {
     // well as 10 did and halve this section's share of the bench wall
     // (it was ~10 of 17 minutes)
     val incRoot = s"target/bench-incr-$n"
+    ownedDirs += incRoot
     org.apache.hadoop.fs.FileSystem.getLocal(new org.apache.hadoop.conf.Configuration())
       .delete(new org.apache.hadoop.fs.Path(incRoot), true)
     val cut = n * 9 / 10
@@ -168,15 +204,17 @@ object Bench {
     }
     val epochMedian = epochSecs.sorted.apply(epochSecs.size / 2)
 
-    // read-only serving probe (Probe.run): the held-out last 5% evaluated
+    // read-only serving probe (Probe.run): a 1k-row held-out batch evaluated
     // against the bootstrapped root with NO state mutation — the reference's
-    // request-shaped "is this a duplicate?" check. Prices the serving path
-    // against incremental_epoch_sec, whose wall is dominated by the 14-stage
-    // checkpoint re-derivation the probe never pays. Median of 3 (read-only,
-    // so reps are identical work).
+    // request-shaped "is this a duplicate?" check at its interactive batch
+    // size (round-4 verdict #3: the serving number to price is a SMALL batch,
+    // not a 5% slice). Prices the serving path against incremental_epoch_sec,
+    // whose wall is dominated by the 14-stage checkpoint re-derivation the
+    // probe never pays. Median of 3 (read-only, so reps are identical work).
     val hi5 = cut + 5 * (n - cut) / 10
-    val probeBatch = input.where(col("image_id") >= f"img-$hi5%010d")
-    val probeRows = n - hi5
+    val probeRows = math.min(n - hi5, 1000L)
+    val probeBatch = input.where(col("image_id") >= f"img-$hi5%010d" &&
+      col("image_id") < f"img-${hi5 + probeRows}%010d")
     val probeSecs = (1 to 3).map { _ =>
       val (_, sec) = time(
         Probe.run(spark, incRoot, probeBatch, DedupConfig.default).outcomes.count())
@@ -210,7 +248,7 @@ object Bench {
     val pcts = f""""query_sec_p50":${pct(0.5)}%.3f,"query_sec_p95":${pct(0.95)}%.3f,"query_sec_p99":${pct(0.99)}%.3f"""
     val loadEnd = loadavg1
     val loadF = f""""load_start":$loadStart%.2f,"load_end":$loadEnd%.2f,"quiet_wait_sec":$quietWaitSec%.1f"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$pcts,"sf":"$sfDir","pipeline_rows":$n,"pipeline_clusters":$clusters,"images_per_sec":$ips,"pipeline_sec_all":$pipeAll,"queries_sec_all":$repsAll,$incF,$loadF}""")
-    spark.stop()
+    val diskF = f""""disk_free_gb_start":$diskFreeStart%.1f,"disk_free_gb_end":${graft.util.Disk.freeGb()}%.1f"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$pcts,"sf":"$sfDir","pipeline_rows":$n,"pipeline_clusters":$clusters,"images_per_sec":$ips,"pipeline_sec_all":$pipeAll,"queries_sec_all":$repsAll,$incF,$loadF,$diskF}""")
   }
 }

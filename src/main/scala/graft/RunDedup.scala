@@ -40,5 +40,8 @@ object RunDedup {
     graft.tables.Layout.releaseCaches(outDir)
     graft.util.Caches.releaseAll()
     spark.stop()
+    // a straggler non-daemon thread must not keep the JVM (and its Spark
+    // scratch dirs) alive after the summary is printed (round-4 verdict #2)
+    sys.exit(0)
   }
 }

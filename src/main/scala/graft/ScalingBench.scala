@@ -46,41 +46,53 @@ object ScalingBench {
         s.stop()
       }
       println(s"[scaling] corpus ready: ${corpusPath(rows)}")
+      sys.exit(0)
 
     case Array("measure", coresS, rowsS) =>
       val cores = coresS.toInt
       val rows = rowsS.toLong
-      val s = Sessions.build(s"graft-scaling-$cores", cores.toString)
-      // warmup: identical plan shape on a 10% slice, result discarded
-      val warmDir = Files.createTempDirectory("graft-scaling-warm").toString
-      val warm = s.read.parquet(corpusPath(rows)).limit((rows / 10).toInt)
-      Dedup.runCheckpointed(s, warm, warmDir, DedupConfig.default).clusters.count()
+      // disk safety (util.Disk): sweep crashed runs' leftovers — round 4's
+      // ENOSPC was partly leftover graft-scaling-* corpora — own the Spark
+      // scratch dir, delete everything this measurement created in a
+      // finally, and hard-exit so no straggler thread keeps the JVM (and
+      // its shuffle dirs) alive after the JSON line is printed
+      graft.util.Disk.sweep("/tmp", "graft-scaling-")
+      Seq("scaling-warm-", "scaling-out-", "scaling-local-")
+        .foreach(graft.util.Disk.sweep("target", _))
+      val localDir = graft.util.Disk.ownLocalDir("scaling")
+      val warmDir = s"target/scaling-warm-${ProcessHandle.current().pid()}"
+      val outDir = s"target/scaling-out-${ProcessHandle.current().pid()}"
+      val s = Sessions.build(s"graft-scaling-$cores", cores.toString,
+        Map("spark.local.dir" -> localDir))
+      try {
+        // warmup: identical plan shape on a 10% slice, result discarded
+        val warm = s.read.parquet(corpusPath(rows)).limit((rows / 10).toInt)
+        Dedup.runCheckpointed(s, warm, warmDir, DedupConfig.default).clusters.count()
 
-      val timer = if (sys.env.contains("GRAFT_STAGE_TIMER"))
-        Some(graft.tools.StageTimer.attach(s)) else None
-      // the measured job is the PRODUCTION path: the checkpointed, resumable
-      // pipeline (per-stage Iceberg-layout tables + lineage), not the
-      // in-memory variant
-      val outDir = Files.createTempDirectory("graft-scaling-out").toString
-      val input = s.read.parquet(corpusPath(rows))
-      val t0 = System.nanoTime()
-      val r = Dedup.runCheckpointed(s, input, outDir, DedupConfig.default)
-      val clean = r.clusters.count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      timer.foreach { t =>
-        t.report(20)
-        println(f"[scaling] total stage wall=${t.rows.map(_._3).sum / 1000.0}%.1f s " +
-          f"cpu=${t.rows.map(_._5).sum / 1000.0}%.1f s stages=${t.rows.size}")
+        val timer = if (sys.env.contains("GRAFT_STAGE_TIMER"))
+          Some(graft.tools.StageTimer.attach(s)) else None
+        // the measured job is the PRODUCTION path: the checkpointed, resumable
+        // pipeline (per-stage Iceberg-layout tables + lineage), not the
+        // in-memory variant
+        val input = s.read.parquet(corpusPath(rows))
+        val t0 = System.nanoTime()
+        val r = Dedup.runCheckpointed(s, input, outDir, DedupConfig.default)
+        val clean = r.clusters.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        timer.foreach { t =>
+          t.report(20)
+          println(f"[scaling] total stage wall=${t.rows.map(_._3).sum / 1000.0}%.1f s " +
+            f"cpu=${t.rows.map(_._5).sum / 1000.0}%.1f s stages=${t.rows.size}")
+        }
+        println(f"[scaling-json] {" +
+          f""""cores":$cores,"rows":$rows,"clean":$clean,"sec":$sec%.2f,""" +
+          f""""images_per_sec":${rows / sec}%.1f,""" +
+          f""""disk_free_gb_end":${graft.util.Disk.freeGb()}%.1f}""")
+      } finally {
+        try s.stop() catch { case _: Throwable => }
+        Seq(warmDir, outDir, localDir).foreach(graft.util.Disk.rm)
       }
-      println(f"[scaling-json] {" +
-        f""""cores":$cores,"rows":$rows,"clean":$clean,"sec":$sec%.2f,""" +
-        f""""images_per_sec":${rows / sec}%.1f}""")
-      s.stop()
-      // temp checkpoint roots are per-measurement garbage; a scaling session
-      // leaves dozens of them (hundreds of MB each) in /tmp otherwise
-      Seq(warmDir, outDir).foreach { d =>
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
-      }
+      sys.exit(0)
 
     case _ =>
       System.err.println("usage: ScalingBench gen <rows> | measure <cores> <rows>")

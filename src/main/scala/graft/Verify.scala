@@ -32,5 +32,8 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // the driver consumes the dump directory, not this process — exit hard
+    // so no straggler non-daemon thread outlives the dump (round-4 verdict #2)
+    sys.exit(0)
   }
 }

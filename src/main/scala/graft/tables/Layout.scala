@@ -204,6 +204,37 @@ object Layout {
     spark.read.parquet(s"$root/$stage")
 
   /**
+   * Crash repair for the two-rename partition swaps below (mergeStage /
+   * compactStage). Their swap is: rename(live → bak), rename(fresh → live).
+   * A crash BETWEEN the renames leaves the partition missing from the live
+   * dir with its only copy parked in the backup dir — and the next
+   * mergeStage/compactStage run used to delete the backup dir wholesale on
+   * entry, destroying that only copy while the manifest still counted its
+   * rows (silent, unrecoverable loss; ADVICE r4). So before any swap — and
+   * before deleting a stale backup — restore every backup partition whose
+   * live dir is MISSING (rename back: the crash happened mid-swap and the
+   * old files are the current truth). A backup partition whose live dir
+   * EXISTS is a completed swap's leftover and is safe to drop with the dir.
+   */
+  private def restoreSwapBackups(fs: FileSystem, dir: String, bak: Path): Unit = {
+    if (!fs.exists(bak)) return
+    fs.listStatus(bak).foreach { st =>
+      val name = st.getPath.getName // "<partitionBy>=<value>"
+      if (name.contains("=")) {
+        val live = new Path(s"$dir/$name")
+        if (!fs.exists(live) && !fs.rename(st.getPath, live))
+          throw new java.io.IOException(
+            s"crash-repair restore failed: ${st.getPath} -> $live")
+      }
+    }
+    // everything left is a completed swap's leftover copy; consume the dir
+    // so an early-exit caller (nothing to compact / no matched partition)
+    // doesn't leave it behind
+    fs.delete(bak, true)
+    ()
+  }
+
+  /**
    * MERGE-matched-update on a partitioned stage — the Iceberg `MERGE INTO
    * ... WHEN MATCHED THEN UPDATE` analog this facade fronts (the reference's
    * QA mutations flip row status / rewrite parent ids in place:
@@ -224,6 +255,10 @@ object Layout {
   def mergeStage(spark: SparkSession, root: String, stage: String,
       keyCols: Seq[String], partitionBy: String = "batch")(updates: DataFrame): Long = {
     val dir = s"$root/$stage"
+    // crash repair FIRST: a prior merge that died mid-swap left a partition
+    // only in the backup dir — it must be restored before the live dir is
+    // read (the affected-partition scan below) or the backup deleted
+    restoreSwapBackups(fsFor(new Path(dir)), dir, new Path(s"$root/_merge_old_$stage"))
     val cur = read(spark, root, stage)
     import org.apache.spark.sql.functions._
     // two updates for one key would fan the left join out and silently grow
@@ -255,9 +290,11 @@ object Layout {
     val fs = fsFor(new Path(dir))
     // two renames per partition, not delete+rename: a crash between them
     // leaves either the old partition (swap not started) or the new one
-    // plus a stale backup — never a missing partition. The backup lives
-    // OUTSIDE the stage dir (an extra dir under `$dir/` would be read back
-    // as a bogus partition value).
+    // plus a stale backup — never a missing partition, PROVIDED entry
+    // first restores any mid-swap backup (see restoreSwapBackups: deleting
+    // the backup before checking would destroy a crashed swap's only copy).
+    // The backup lives OUTSIDE the stage dir (an extra dir under `$dir/`
+    // would be read back as a bogus partition value).
     val bak = new Path(s"$root/_merge_old_$stage")
     fs.delete(bak, true)
     fs.mkdirs(bak)
@@ -314,6 +351,11 @@ object Layout {
     require(isComplete(root, stage), s"cannot compact incomplete stage $stage")
     val dir = s"$root/$stage"
     val fs = fsFor(new Path(dir))
+    // crash repair FIRST (see restoreSwapBackups): a compaction that died
+    // mid-swap left a partition only in the backup dir; it must be restored
+    // before the per-partition file listing below plans this run — and
+    // before the stale backup is deleted, which would destroy the only copy
+    restoreSwapBackups(fs, dir, new Path(s"$root/_compact_old_$stage"))
     val parts = partitionRows(root, stage)
     require(parts.nonEmpty, s"stage $stage has no per-partition manifest entries")
 

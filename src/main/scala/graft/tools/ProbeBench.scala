@@ -29,10 +29,13 @@ object ProbeBench {
 
   def main(args: Array[String]): Unit = {
     val Array(corpusPath, corpusRowsS, probeRowsS) = args.take(3)
+    val fresh = args.contains("--fresh")
     val nCorpus = corpusRowsS.toLong
     val probeN = probeRowsS.toLong
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = graft.util.Sessions.build("graft-probe-bench", cpus)
+    val localDir = graft.util.Disk.ownLocalDir("probe")
+    val spark = graft.util.Sessions.build("graft-probe-bench", cpus,
+      Map("spark.local.dir" -> localDir))
 
     def time[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime()
@@ -40,7 +43,16 @@ object ProbeBench {
       (a, (System.nanoTime() - t0) / 1e9)
     }
 
-    val root = s"target/probe-bench-root-$nCorpus"
+    // the resumable root is keyed by CORPUS IDENTITY (absolute path hash),
+    // not just row count: two different corpora of the same size must not
+    // share a bootstrap, or the probes time against the wrong persisted
+    // state and report numbers for data that was never probed. --fresh
+    // forces a rebuild of the same corpus's root.
+    val corpusKey = java.lang.Long.toHexString(
+      graft.util.Hashing.splitmix64(
+        new java.io.File(corpusPath).getAbsolutePath.hashCode.toLong))
+    val root = s"target/probe-bench-root-$nCorpus-$corpusKey"
+    if (fresh) graft.util.Disk.rm(root)
     val input = spark.read.parquet(corpusPath)
     val (_, bootSec) = time {
       graft.Dedup.runCheckpointed(spark, input, root, DedupConfig.default)
@@ -64,6 +76,8 @@ object ProbeBench {
     val median = secs.sorted.apply(secs.size / 2)
     val all = secs.map(s => f"$s%.2f").mkString("[", ",", "]")
     println(f"""{"corpus_rows":$nCorpus,"probe_rows":$probeN,"bootstrap_sec":$bootSec%.1f,"probe_sec":$median%.2f,"probe_sec_all":$all,"probe_rows_per_sec":${probeN / median}%.1f,"cores":$cpus,"load_start":$loadStart%.2f,"load_end":$loadavg1%.2f}""")
-    spark.stop()
+    try spark.stop() catch { case _: Throwable => }
+    graft.util.Disk.rm(localDir)
+    sys.exit(0)
   }
 }

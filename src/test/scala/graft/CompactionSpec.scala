@@ -80,6 +80,43 @@ class CompactionSpec extends AnyFunSuite {
       all.where(col("image_id") >= c2).repartition(8), "s2", cfg)
     assert(Layout.partitionRows(root, stage) == partsBefore)
     assert(spark.read.parquet(s"$root/$stage").count() == beforeRows.size.toLong)
+
+    // ---- crash-window repair (ADVICE r4): a compaction that dies BETWEEN
+    // rename(live->bak) and rename(fresh->live) leaves the partition's only
+    // copy in the backup dir. The next compactStage must restore it on
+    // entry — not delete the backup (which was the only copy) — and end
+    // with the stage intact.
+    val liveDir = Paths.get(s"$root/$stage/batch=s1")
+    val bakDir = Paths.get(s"$root/_compact_old_$stage/batch=s1")
+    Files.createDirectories(bakDir.getParent)
+    Files.move(liveDir, bakDir) // the mid-swap crash state
+    assert(!Files.exists(liveDir))
+    val (_, _, afterRepair) = Layout.compactStage(spark, root, stage)
+    assert(Files.exists(liveDir), "crashed swap's partition was not restored")
+    assert(!Files.exists(Paths.get(s"$root/_compact_old_$stage")))
+    assert(afterRepair >= partsBefore.size.toLong)
+    val repairedRows = spark.read.parquet(s"$root/$stage")
+      .select("image_id", "batch").as[(String, String)].collect().sorted.toSeq
+    assert(repairedRows == beforeRows,
+      "rows after crash repair differ from the pre-crash stage")
+    assert(Layout.partitionRows(root, stage) == partsBefore)
+
+    // same repair on the mergeStage swap path: plant a mid-swap crash state,
+    // then run a merge touching a DIFFERENT partition — entry repair must
+    // bring s2 back before anything else happens
+    val live2 = Paths.get(s"$root/$stage/batch=s2")
+    val bak2 = Paths.get(s"$root/_merge_old_$stage/batch=s2")
+    Files.createDirectories(bak2.getParent)
+    Files.move(live2, bak2)
+    val someBase = spark.read.parquet(s"$root/$stage")
+      .where(col("batch") === "0").select("image_id").limit(1)
+      .as[String].collect().head
+    Layout.mergeStage(spark, root, stage, Seq("image_id"))(
+      Seq((someBase, false)).toDF("image_id", "is_low_quality"))
+    assert(Files.exists(live2), "merge entry did not restore the crashed swap")
+    val mergedRows = spark.read.parquet(s"$root/$stage")
+      .select("image_id", "batch").as[(String, String)].collect().sorted.toSeq
+    assert(mergedRows == beforeRows)
     all.unpersist()
   }
 }
