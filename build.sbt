@@ -10,6 +10,15 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Run suites CONCURRENTLY inside the one forked test JVM: suite wall time
+// is dominated by per-job driver floors (planning, commit protocol) that
+// overlap cleanly against the shared local SparkSession. Suites own
+// disjoint target/ roots and never mutate global state (asserted by the
+// suites themselves); within-suite tests stay sequential.
+Test / testForkedParallel := true
+// -oD: per-test durations in the report — the parallel schedule is bounded
+// by its straggler suite, so knowing where the minutes go is maintenance
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

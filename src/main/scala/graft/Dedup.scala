@@ -223,7 +223,8 @@ object Dedup {
     val edges = verified.where(col("is_edge")).select("src", "dst", "match_score")
 
     val clusters = ConnectedComponents.run(
-      clean.select(col("image_id").as("id")), edges, cfg.maxCcIterations)
+      clean.select(col("image_id").as("id")), edges, cfg.maxCcIterations,
+        cfg.ccPointerJump)
       .select(col("id").as("image_id"), col("cluster_id"))
 
     val recur = recurring(clusters, cfg)
@@ -270,13 +271,19 @@ object Dedup {
       PairVerifier.verify(cands, clean, cfg).withColumn("batch", lit(BaseBatch)))
     // QA overrides (force-link/split) apply at every edge derivation so a
     // human decision survives re-runs — see graft.qa.Qa
+    val ovSeq = graft.qa.Qa.maxOverrideSeq(spark, root)
     val edges = graft.qa.Qa.applyOverrides(spark, root,
       verified.where(col("is_edge")).select("src", "dst", "match_score"))
 
+    // the applied-seq stamp moves only when THIS run actually re-derives
+    // clusters: a resumed run skips the stage, so stamping it would falsely
+    // claim overrides added since are reflected (Probe keys off the stamp)
+    val clustersWereComplete = Layout.isComplete(root, "clusters")
     val clusters = Layout.runStage(spark, root, "clusters")(
-      ConnectedComponents.run(
+      graft.qa.Qa.applyPromotes(spark, root, ConnectedComponents.run(
         clean.select(col("image_id").as("id")), edges, cfg.maxCcIterations)
-        .select(col("id").as("image_id"), col("cluster_id")))
+        .select(col("id").as("image_id"), col("cluster_id"))))
+    if (!clustersWereComplete) graft.qa.Qa.recordOverridesApplied(root, ovSeq)
 
     val recur = Layout.runStage(spark, root, "recurring")(recurring(clusters, cfg))
     val decis = Layout.runStage(spark, root, "decisions")(

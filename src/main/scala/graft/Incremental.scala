@@ -319,7 +319,7 @@ object Incremental {
       val qLabels = ConnectedComponents.run(
         newIds.select(col("id"))
           .unionByName(qEdges.select(col("src").as("id"))).distinct(),
-        qEdges, cfg.maxCcIterations)
+        qEdges, cfg.maxCcIterations, cfg.ccPointerJump)
       // old components whose label changed (a merge through a new row)
       val remap = qLabels
         .join(broadcast(newIds), Seq("id"), "left_anti")
@@ -373,12 +373,15 @@ object Incremental {
     } else {
       Seq("clusters", "recurring", "decisions", "audit")
         .foreach(Layout.invalidate(root, _))
+      val ovSeq = graft.qa.Qa.maxOverrideSeq(spark, root)
       val edges = graft.qa.Qa.applyOverrides(spark, root,
         verifiedAll.where(col("is_edge")).select("src", "dst", "match_score"))
       val clustersW = Layout.runStage(spark, root, "clusters")(
-        ConnectedComponents.run(
-          clean.select(col("image_id").as("id")), edges, cfg.maxCcIterations)
-          .select(col("id").as("image_id"), col("cluster_id")))
+        graft.qa.Qa.applyPromotes(spark, root, ConnectedComponents.run(
+          clean.select(col("image_id").as("id")), edges, cfg.maxCcIterations,
+          cfg.ccPointerJump)
+          .select(col("id").as("image_id"), col("cluster_id"))))
+      graft.qa.Qa.recordOverridesApplied(root, ovSeq)
       val recurW = Layout.runStage(spark, root, "recurring")(
         Dedup.recurring(clustersW, cfg))
       val decisW = Layout.runStage(spark, root, "decisions")(

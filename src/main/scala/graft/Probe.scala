@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
 
 import graft.cluster.ConnectedComponents
 import graft.config.DedupConfig
@@ -12,7 +13,10 @@ import graft.tables.Layout
 /**
  * Read-only probe outputs: dedup decisions for the probed rows (the exact
  * rows `Incremental.append` would write for this batch) plus the
- * quality-gate rejects that never reach similarity search.
+ * quality-gate rejects that never reach similarity search. Both frames are
+ * localCheckpointed — the serving answer is COMPUTED when the probe call
+ * returns, not a lazy plan (a caller's later action must not silently
+ * re-run the matching under different session conf).
  */
 final case class ProbeResult(decisions: DataFrame, lowQuality: DataFrame) {
 
@@ -42,15 +46,33 @@ final case class ProbeResult(decisions: DataFrame, lowQuality: DataFrame) {
  *   subsequent Incremental.append(root, batch, _), byte for byte — and the
  *   root's files are untouched (no writes, no manifest changes, no lineage).
  *
+ * Serving-latency design (round-4 verdict #3: a 5k probe paid ~32 s, all of
+ * it stage/scheduling floor, not data):
+ *
+ *  1. A per-(session, root) `ProbeContext` holds the persisted index stages
+ *     as MEMORY_AND_DISK-cached frames — the FAISS load-index-at-startup
+ *     analog (`app/utils/vector_store.py:138-163`). The first probe pays the
+ *     parquet scans; every later probe reads executor memory. Staleness is
+ *     impossible by construction: the context records each stage's manifest
+ *     stamp and any append/refresh/compaction rewrites a manifest, which
+ *     rebuilds the context on the next call.
+ *  2. Probe plans execute under probe-scoped conf: shuffle.partitions
+ *     dropped to `ProbePartitions` (everything that shuffles is
+ *     batch-proportional BY DESIGN — the corpus is only ever scan-filtered
+ *     against broadcast batch keys — so corpus-sized partition counts just
+ *     multiply empty-task scheduling), and AQE off (re-optimization is a
+ *     driver sync per shuffle stage; probe shuffles are too small to ever
+ *     re-plan profitably). The session conf is restored before returning;
+ *     the result frames are already materialized by then.
+ *  3. The matching is evaluated EAGERLY into localCheckpoints, so the whole
+ *     probe is a handful of jobs (quotient-CC rounds + one materialization)
+ *     instead of dozens of lazily-recomputed stage chains.
+ *
  * Scale shape is append's: the probe batch is the small side, so its keys
  * broadcast; persisted index stages (rep_map / norm_map / banded /
  * banded_simhash / suffix_keys) are only ever SCANNED and filtered against
  * those broadcast keys — the corpus never shuffles. Per-probe-batch work is
  * proportional to the batch and the band buckets / components it touches.
- * Unlike append there are NO stage writes, so a probe costs the candidate
- * probe + verify + a quotient-graph CC over the touched components only —
- * the floor `Incremental` pays per epoch for its 14 checkpoint writes does
- * not apply (BENCH/BASELINE.md prices both).
  *
  * Assumes probe ids are unseen and sort after the corpus ids (arrival
  * order — the same invariant append requires). Probe rows DO see each other
@@ -59,189 +81,292 @@ final case class ProbeResult(decisions: DataFrame, lowQuality: DataFrame) {
  */
 object Probe {
 
-  /** Build the serving indexes if missing (the FAISS load/rebuild-at-startup
-    * analog, `app/utils/vector_store.py:138-163`) and evaluate `input`
-    * read-only. Index build is the ONLY write this can ever perform; on a
-    * root that has served an append (or probed once) it is a no-op. */
+  /** Shuffle partitions for probe plans. Everything post-filter is
+    * batch-proportional, so this scales with the BATCH size, not the
+    * corpus; 8 keeps a 1k-row batch busy without paying 32+ empty tasks
+    * per shuffle stage. */
+  val ProbePartitions = "8"
+
+  /** The persisted index stages, cached for repeated probes, plus the
+    * manifest stamps they were loaded under. */
+  private final case class Index(
+      oldClean: DataFrame, oldGroupReps: DataFrame, oldNormReps: DataFrame,
+      normMapAll: DataFrame, banded: DataFrame, bandedSim: DataFrame,
+      suffixKeys: DataFrame, clustersPrev: DataFrame) {
+    def frames: Seq[DataFrame] = Seq(oldClean, oldGroupReps, oldNormReps,
+      normMapAll, banded, bandedSim, suffixKeys, clustersPrev)
+  }
+
+  /** Stages whose manifests stamp the context (any mutation path rewrites
+    * the manifest of at least one of them — appends touch every index
+    * stage; QA refresh rewrites clusters). */
+  private val StampStages = Seq("features", "rep_map", "norm_map", "banded",
+    "banded_simhash", "suffix_keys", "clusters")
+
+  private def stamp(root: String): String =
+    StampStages.map(s => Layout.manifestStamp(root, s)).mkString("\u0000")
+
+  final class Context private[Probe] (val spark: SparkSession, val root: String,
+      val cfg: DedupConfig, idx: Index, stampAtOpen: String) {
+    private[Probe] def index: Index = idx
+    private[Probe] def fresh: Boolean = stamp(root) == stampAtOpen
+    def probe(input: DataFrame): ProbeResult = evaluate(this, input)
+    def close(): Unit = idx.frames.foreach(_.unpersist(false))
+  }
+
+  /** Load (and cache) the serving index for `root` — the FAISS
+    * load-at-startup analog. Builds the incremental index stages first if
+    * the root has never served an append or probe (the ONLY write this
+    * path can ever perform). */
+  def open(spark: SparkSession, root: String,
+      cfg: DedupConfig = DedupConfig.default): Context = {
+    Incremental.ensureIndexes(spark, root, cfg)
+    def cached(df: DataFrame): DataFrame = df.persist(StorageLevel.MEMORY_AND_DISK)
+    val idx = Index(
+      oldClean = cached(Layout.read(spark, root, "features")
+        .where(!col("is_low_quality")).drop("batch")),
+      oldGroupReps = cached(Layout.read(spark, root, "rep_map")
+        .where(col("image_id") === col("rep"))
+        .select(Candidates.ExactKeyCols.map(col) :+ col("rep"): _*)),
+      oldNormReps = cached(Layout.read(spark, root, "norm_map")
+        .where(col("image_id") === col("nrep")).select("norm", "nrep")),
+      normMapAll = cached(Layout.read(spark, root, "norm_map")
+        .select("image_id", "norm", "nrep")),
+      banded = cached(Layout.read(spark, root, "banded")
+        .select("id", "band", "bkey")),
+      bandedSim = cached(Layout.read(spark, root, "banded_simhash")
+        .select("id", "band", "bkey")),
+      suffixKeys = cached(Layout.read(spark, root, "suffix_keys")
+        .select("b_id", "tier", "k")),
+      clustersPrev = cached(Layout.read(spark, root, "clusters")))
+    new Context(spark, root, cfg, idx, stamp(root))
+  }
+
+  // one serving context per (session, root); rebuilt when the root's
+  // manifests move (append/refresh/compaction) or the config changes
+  private val ctxMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Context]
+  graft.util.Caches.onRelease(t => if (t.isEmpty) {
+    ctxMemo.values.foreach(_.close()); ctxMemo.clear()
+  })
+
+  /** Evaluate `input` read-only against `root`, reusing (or transparently
+    * rebuilding) the cached serving context. */
   def run(spark: SparkSession, root: String, input: DataFrame,
       cfg: DedupConfig = DedupConfig.default): ProbeResult = {
-    Incremental.ensureIndexes(spark, root, cfg)
-
-    // Lazy localCheckpoints below stand in for append's stage writes: every
-    // checkpointed frame is batch-proportional, and without the truncation
-    // each consumer (and every CC iteration) re-evaluates the whole transient
-    // candidate pipeline — measured as thousands of recomputed stages on a
-    // 480-row probe. Lazy (materialize on first consumer) rather than eager:
-    // each eager checkpoint is its own driver-sync job, and at serving batch
-    // sizes the probe's cost is bounded by job/stage floors, not data.
-    val feats = Dedup.features(input, cfg).localCheckpoint(false)
-    val cleanNew = feats.where(!col("is_low_quality"))
-    val lowQ = feats.where(col("is_low_quality"))
-      .select("image_id", "caption", "issues", "quality_score", "quality_severity")
-      .withColumn("status", lit(graft.qa.Qa.Pending))
-    val oldClean = Layout.read(spark, root, "features")
-      .where(!col("is_low_quality")).drop("batch")
-
-    // ---- exact / norm groups: transient twins of append steps 2-3 ---------
-    val keyCols = Candidates.ExactKeyCols
-    val newKeyed = cleanNew.select((Seq("image_id") ++ keyCols).map(col): _*)
-    val oldGroupReps = Layout.read(spark, root, "rep_map")
-      .where(col("image_id") === col("rep"))
-      .select(keyCols.map(col) :+ col("rep"): _*)
-    val matched = oldGroupReps.join(broadcast(newKeyed), keyCols)
-      .select((Seq("image_id") ++ keyCols :+ "rep").map(col): _*)
-    val unmatched = Candidates.repTag(
-      newKeyed.join(broadcast(matched.select("image_id")), Seq("image_id"), "left_anti"),
-      keyCols, "image_id", "rep")
-    val repNew = matched.unionByName(unmatched).localCheckpoint(false)
-
-    val newNorms = cleanNew.select("image_id", "norm")
-    val oldNormReps = Layout.read(spark, root, "norm_map")
-      .where(col("image_id") === col("nrep")).select("norm", "nrep")
-    val matchedN = oldNormReps.join(broadcast(newNorms), Seq("norm"))
-      .select("image_id", "norm", "nrep")
-    val unmatchedN = Candidates.repTag(
-      newNorms.join(broadcast(matchedN.select("image_id")), Seq("image_id"), "left_anti"),
-      Seq("norm"), "image_id", "nrep")
-    val normNew = matchedN.unionByName(unmatchedN).localCheckpoint(false)
-    val normMapAll = Layout.read(spark, root, "norm_map")
-      .select("image_id", "norm", "nrep")
-      .unionByName(normNew)
-
-    // ---- transient index slices for the batch (append step 4, no writes) --
-    val newRepIds = repNew.where(col("image_id") === col("rep")).select("image_id")
-    val bandedNew = Candidates.minhashBanded(
-      cleanNew.join(broadcast(newRepIds), Seq("image_id")), cfg)
-    val bandedAll = Layout.read(spark, root, "banded")
-      .select("id", "band", "bkey").unionByName(bandedNew)
-
-    val phNewVals = cleanNew.select("phash").distinct()
-    val phOld = oldClean.select("image_id", "phash")
-    val presentOld = phOld.join(broadcast(phNewVals), Seq("phash"))
-      .select("phash").distinct()
-    val newDistinctPh = phNewVals.join(broadcast(presentOld), Seq("phash"), "left_anti")
-    val newPhReps = cleanNew.select("image_id", "phash")
-      .join(broadcast(newDistinctPh), Seq("phash"))
-      .groupBy("phash").agg(min("image_id").as("id"))
-      .select("id", "phash").localCheckpoint(false)
-    val bandedSimAll = Layout.read(spark, root, "banded_simhash")
-      .select("id", "band", "bkey")
-      .unionByName(Candidates.simhashBanded(newPhReps, cfg))
-
-    val newNormRepRows = normNew.where(col("image_id") === col("nrep"))
-      .select(col("nrep").as("id"), col("norm")).distinct()
-    val suffixKeysAll = Layout.read(spark, root, "suffix_keys")
-      .select("b_id", "tier", "k")
-      .unionByName(SuffixDup.suffixEntries(newNormRepRows).select("b_id", "tier", "k"))
-
-    // ---- candidate pairs touching the batch (append step 5, verbatim) -----
-    val newIds = cleanNew.select(col("image_id").as("id"))
-
-    val exactNew = repNew.where(col("image_id") =!= col("rep"))
-      .select(col("rep").as("src"), col("image_id").as("dst"), lit("exact").as("source"))
-
-    val affectedBands = bandedNew.select("band", "bkey").distinct()
-    val bandCohort = bandedAll
-      .join(broadcast(affectedBands), Seq("band", "bkey"))
-    val mhNew = Incremental.pairsTouching(
-      Candidates.saltedSelfJoin(bandCohort, cfg.bucketSizeCap), newIds)
-      .withColumn("source", lit("minhash"))
-
-    val phAll = phOld.unionByName(cleanNew.select("image_id", "phash"))
-    val prepPh = phAll.join(broadcast(phNewVals), Seq("phash"))
-      .groupBy("phash").agg(min("image_id").as("prep"))
-    val samePhashNew = cleanNew.select("image_id", "phash")
-      .join(broadcast(prepPh), Seq("phash"))
-      .where(col("image_id") =!= col("prep"))
-      .select(col("prep").as("src"), col("image_id").as("dst"))
-    val affectedCombos = Candidates.simhashBanded(newPhReps, cfg)
-      .select("band", "bkey").distinct()
-    val simCohort = bandedSimAll
-      .join(broadcast(affectedCombos), Seq("band", "bkey"))
-    val simBandNew = Incremental.pairsTouching(
-      Candidates.saltedSelfJoin(simCohort, cfg.bucketSizeCap),
-      newPhReps.select("id"))
-    val simNew = samePhashNew.unionByName(simBandNew).withColumn("source", lit("simhash"))
-
-    val touchedNorms = cleanNew.select("norm").distinct()
-    val nrepsAll = normMapAll.where(col("image_id") === col("nrep"))
-    val touchedReps = nrepsAll.join(broadcast(touchedNorms), Seq("norm"))
-      .select(col("nrep").as("id"), col("norm"))
-    val probesNew = SuffixDup.probeEntries(touchedReps, cfg)
-    // no broadcast hint on the index slice: a hot shared prefix can pull a
-    // corpus-scale slice (same reasoning as Incremental's skCohort)
-    val skCohort = suffixKeysAll
-      .join(broadcast(probesNew.select("tier", "k").distinct()), Seq("tier", "k"))
-    val suffixCohort = nrepsAll
-      .select(col("nrep").as("b_id"), col("norm").as("b_norm"))
-      .join(skCohort, Seq("b_id"))
-    val r1 = SuffixDup.verifyJoin(probesNew, suffixCohort, cfg)
-    val buildsNew = SuffixDup.suffixEntries(touchedReps)
-    val probeCohort = SuffixDup.probeEntries(
-        nrepsAll.select(col("nrep").as("id"), col("norm")), cfg)
-      .join(broadcast(buildsNew.select("tier", "k").distinct()), Seq("tier", "k"))
-    val r2 = SuffixDup.verifyJoin(probeCohort, buildsNew, cfg)
-    val relations = r1.union(r2).distinct()
-    val involvedReps = relations.select(col("src").as("nrep"))
-      .union(relations.select(col("dst").as("nrep"))).distinct()
-    val normCohort = normMapAll.join(broadcast(involvedReps), Seq("nrep"))
-      .select("image_id", "norm", "nrep")
-    val subNew = Incremental.pairsTouching(
-      Candidates.expandSubstringPairs(relations, normCohort)
-        .select("src", "dst"), newIds)
-      .withColumn("source", lit("substring"))
-
-    val candsNew = exactNew.unionByName(mhNew.select("src", "dst", "source"))
-      .unionByName(simNew.select("src", "dst", "source"))
-      .unionByName(subNew.select("src", "dst", "source"))
-
-    // ---- verify (append step 6) -------------------------------------------
-    val cleanAll = oldClean.unionByName(cleanNew)
-    val verifiedNew = PairVerifier.verify(candsNew, cleanAll, cfg).localCheckpoint(false)
-
-    // ---- would-be global state over the touched components only -----------
-    // Always the quotient path: probe edges point old→new (unseen ids sort
-    // last), so the persisted clusters table — which reflects any QA
-    // overrides from its own derivation — composes with the new edges by
-    // min-label propagation; a force-split among OLD rows is already
-    // materialized in clustersPrev, and no override can name an unseen id.
-    val clustersPrev = Layout.read(spark, root, "clusters")
-    val newEdges = verifiedNew.where(col("is_edge"))
-      .select("src", "dst", "match_score")
-    val srcLab = clustersPrev
-      .join(broadcast(newEdges.select(col("src")).distinct()),
-        col("image_id") === col("src"))
-      .select(col("src").as("qsrc"), col("cluster_id").as("qlab"))
-    val qEdges = newEdges
-      .join(broadcast(srcLab), col("src") === col("qsrc"), "left")
-      .select(coalesce(col("qlab"), col("src")).as("src"), col("dst"),
-        col("match_score"))
-    val qLabels = ConnectedComponents.run(
-      newIds.select(col("id"))
-        .unionByName(qEdges.select(col("src").as("id"))).distinct(),
-      qEdges, cfg.maxCcIterations).localCheckpoint(false)
-    val remap = qLabels
-      .join(broadcast(newIds), Seq("id"), "left_anti")
-      .where(col("id") =!= col("cluster_id"))
-      .select(col("id").as("__from"), col("cluster_id").as("__to"))
-    val newAssign = qLabels.join(broadcast(newIds), Seq("id"))
-      .select(col("id").as("image_id"), col("cluster_id"))
-
-    // Recurring status needs member counts only for clusters a probed row
-    // lands in (decisions join recurring on the NEW rows' labels): count the
-    // touched clusters' previous members — a broadcast-filtered scan, never
-    // a corpus shuffle — plus the batch's own assignments. Counts equal the
-    // full-table counts append computes, restricted to the touched labels.
-    val touchedLabels = qLabels.select("cluster_id").distinct()
-    val prevTouched = clustersPrev
-      .join(broadcast(remap), col("cluster_id") === col("__from"), "left")
-      .withColumn("cluster_id", coalesce(col("__to"), col("cluster_id")))
-      .join(broadcast(touchedLabels), Seq("cluster_id"))
-      .select("image_id", "cluster_id")
-    val recurTouched = Dedup.recurring(prevTouched.unionByName(newAssign), cfg)
-
-    val decis = Dedup.decisionsEnriched(cleanNew, verifiedNew, newAssign,
-      recurTouched, cfg)
-    ProbeResult(decis, lowQ)
+    // The quotient path composes with the PERSISTED clusters table; a QA
+    // override recorded after the last global derivation (forceLink without
+    // refreshGlobal) is invisible to it, so probe answers would diverge
+    // from what the next append writes — refuse rather than lie.
+    if (graft.qa.Qa.pendingOverrides(spark, root))
+      throw new IllegalStateException(
+        s"root $root has QA overrides not yet reflected in its clusters " +
+          "table; run Qa.refreshGlobal (or Qa.reclassify, which refreshes) " +
+          "before probing")
+    val key = s"${graft.util.Caches.sessionId(spark)}:$root"
+    val ctx = ctxMemo.get(key) match {
+      case Some(c) if c.cfg == cfg && c.fresh => c
+      case stale =>
+        stale.foreach(_.close())
+        val c = open(spark, root, cfg)
+        ctxMemo.put(key, c)
+        c
+    }
+    ctx.probe(input)
   }
+
+  /** Set probe-scoped session conf, restore on exit. The result frames are
+    * eagerly materialized inside the scope, so restored conf never replans
+    * probe work. (Serving assumes the session isn't concurrently planning
+    * other queries — the same exclusivity a spark-submit serving job has.) */
+  private def withProbeConf[A](spark: SparkSession)(f: => A): A = {
+    val overrides = Map(
+      "spark.sql.shuffle.partitions" -> ProbePartitions,
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = overrides.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private def evaluate(ctx: Context, input: DataFrame): ProbeResult =
+    withProbeConf(ctx.spark) {
+      val spark = ctx.spark
+      val cfg = ctx.cfg
+      val root = ctx.root
+      val idx = ctx.index
+
+      // Lazy localCheckpoints stand in for append's stage writes: every
+      // checkpointed frame is batch-proportional, and without the truncation
+      // each consumer (and every CC iteration) re-evaluates the whole
+      // transient candidate pipeline. They materialize inside the eager
+      // decisions checkpoint below — still one pass each.
+      val feats = Dedup.features(input, cfg).localCheckpoint(false)
+      val cleanNew = feats.where(!col("is_low_quality"))
+      val lowQ = feats.where(col("is_low_quality"))
+        .select("image_id", "caption", "issues", "quality_score", "quality_severity")
+        .withColumn("status", lit(graft.qa.Qa.Pending))
+      val oldClean = idx.oldClean
+
+      // ---- exact / norm groups: transient twins of append steps 2-3 -------
+      val keyCols = Candidates.ExactKeyCols
+      val newKeyed = cleanNew.select((Seq("image_id") ++ keyCols).map(col): _*)
+      val matched = idx.oldGroupReps.join(broadcast(newKeyed), keyCols)
+        .select((Seq("image_id") ++ keyCols :+ "rep").map(col): _*)
+      val unmatched = Candidates.repTag(
+        newKeyed.join(broadcast(matched.select("image_id")), Seq("image_id"), "left_anti"),
+        keyCols, "image_id", "rep")
+      val repNew = matched.unionByName(unmatched).localCheckpoint(false)
+
+      val newNorms = cleanNew.select("image_id", "norm")
+      val matchedN = idx.oldNormReps.join(broadcast(newNorms), Seq("norm"))
+        .select("image_id", "norm", "nrep")
+      val unmatchedN = Candidates.repTag(
+        newNorms.join(broadcast(matchedN.select("image_id")), Seq("image_id"), "left_anti"),
+        Seq("norm"), "image_id", "nrep")
+      val normNew = matchedN.unionByName(unmatchedN).localCheckpoint(false)
+      val normMapAll = idx.normMapAll.unionByName(normNew)
+
+      // ---- transient index slices for the batch (append step 4, no writes) -
+      val newRepIds = repNew.where(col("image_id") === col("rep")).select("image_id")
+      val bandedNew = Candidates.minhashBanded(
+        cleanNew.join(broadcast(newRepIds), Seq("image_id")), cfg)
+      val bandedAll = idx.banded.unionByName(bandedNew)
+
+      val phNewVals = cleanNew.select("phash").distinct()
+      val phOld = oldClean.select("image_id", "phash")
+      val presentOld = phOld.join(broadcast(phNewVals), Seq("phash"))
+        .select("phash").distinct()
+      val newDistinctPh = phNewVals.join(broadcast(presentOld), Seq("phash"), "left_anti")
+      val newPhReps = cleanNew.select("image_id", "phash")
+        .join(broadcast(newDistinctPh), Seq("phash"))
+        .groupBy("phash").agg(min("image_id").as("id"))
+        .select("id", "phash").localCheckpoint(false)
+      val bandedSimAll = idx.bandedSim
+        .unionByName(Candidates.simhashBanded(newPhReps, cfg))
+
+      val newNormRepRows = normNew.where(col("image_id") === col("nrep"))
+        .select(col("nrep").as("id"), col("norm")).distinct()
+      val suffixKeysAll = idx.suffixKeys
+        .unionByName(SuffixDup.suffixEntries(newNormRepRows).select("b_id", "tier", "k"))
+
+      // ---- candidate pairs touching the batch (append step 5, verbatim) ---
+      val newIds = cleanNew.select(col("image_id").as("id"))
+
+      val exactNew = repNew.where(col("image_id") =!= col("rep"))
+        .select(col("rep").as("src"), col("image_id").as("dst"), lit("exact").as("source"))
+
+      val affectedBands = bandedNew.select("band", "bkey").distinct()
+      val bandCohort = bandedAll
+        .join(broadcast(affectedBands), Seq("band", "bkey"))
+      val mhNew = Incremental.pairsTouching(
+        Candidates.saltedSelfJoin(bandCohort, cfg.bucketSizeCap), newIds)
+        .withColumn("source", lit("minhash"))
+
+      val phAll = phOld.unionByName(cleanNew.select("image_id", "phash"))
+      val prepPh = phAll.join(broadcast(phNewVals), Seq("phash"))
+        .groupBy("phash").agg(min("image_id").as("prep"))
+      val samePhashNew = cleanNew.select("image_id", "phash")
+        .join(broadcast(prepPh), Seq("phash"))
+        .where(col("image_id") =!= col("prep"))
+        .select(col("prep").as("src"), col("image_id").as("dst"))
+      val affectedCombos = Candidates.simhashBanded(newPhReps, cfg)
+        .select("band", "bkey").distinct()
+      val simCohort = bandedSimAll
+        .join(broadcast(affectedCombos), Seq("band", "bkey"))
+      val simBandNew = Incremental.pairsTouching(
+        Candidates.saltedSelfJoin(simCohort, cfg.bucketSizeCap),
+        newPhReps.select("id"))
+      val simNew = samePhashNew.unionByName(simBandNew).withColumn("source", lit("simhash"))
+
+      val touchedNorms = cleanNew.select("norm").distinct()
+      val nrepsAll = normMapAll.where(col("image_id") === col("nrep"))
+      val touchedReps = nrepsAll.join(broadcast(touchedNorms), Seq("norm"))
+        .select(col("nrep").as("id"), col("norm"))
+      val probesNew = SuffixDup.probeEntries(touchedReps, cfg)
+      // no broadcast hint on the index slice: a hot shared prefix can pull a
+      // corpus-scale slice (same reasoning as Incremental's skCohort)
+      val skCohort = suffixKeysAll
+        .join(broadcast(probesNew.select("tier", "k").distinct()), Seq("tier", "k"))
+      val suffixCohort = nrepsAll
+        .select(col("nrep").as("b_id"), col("norm").as("b_norm"))
+        .join(skCohort, Seq("b_id"))
+      val r1 = SuffixDup.verifyJoin(probesNew, suffixCohort, cfg)
+      val buildsNew = SuffixDup.suffixEntries(touchedReps)
+      val probeCohort = SuffixDup.probeEntries(
+          nrepsAll.select(col("nrep").as("id"), col("norm")), cfg)
+        .join(broadcast(buildsNew.select("tier", "k").distinct()), Seq("tier", "k"))
+      val r2 = SuffixDup.verifyJoin(probeCohort, buildsNew, cfg)
+      val relations = r1.union(r2).distinct()
+      val involvedReps = relations.select(col("src").as("nrep"))
+        .union(relations.select(col("dst").as("nrep"))).distinct()
+      val normCohort = normMapAll.join(broadcast(involvedReps), Seq("nrep"))
+        .select("image_id", "norm", "nrep")
+      val subNew = Incremental.pairsTouching(
+        Candidates.expandSubstringPairs(relations, normCohort)
+          .select("src", "dst"), newIds)
+        .withColumn("source", lit("substring"))
+
+      val candsNew = exactNew.unionByName(mhNew.select("src", "dst", "source"))
+        .unionByName(simNew.select("src", "dst", "source"))
+        .unionByName(subNew.select("src", "dst", "source"))
+
+      // ---- verify (append step 6) ------------------------------------------
+      val cleanAll = oldClean.unionByName(cleanNew)
+      val verifiedNew = PairVerifier.verify(candsNew, cleanAll, cfg).localCheckpoint(false)
+
+      // ---- would-be global state over the touched components only ----------
+      // Always the quotient path: probe edges point old→new (unseen ids sort
+      // last), so the persisted clusters table — which reflects any QA
+      // overrides from its own derivation (the pending guard in run()) —
+      // composes with the new edges by min-label propagation; a force-split
+      // among OLD rows is already materialized in clustersPrev, and no
+      // override can name an unseen id. Promote rep-overrides re-anchor the
+      // touched components' labels after the CC rounds (Qa.anchorQuotient).
+      val clustersPrev = idx.clustersPrev
+      val newEdges = verifiedNew.where(col("is_edge"))
+        .select("src", "dst", "match_score")
+      val srcLab = clustersPrev
+        .join(broadcast(newEdges.select(col("src")).distinct()),
+          col("image_id") === col("src"))
+        .select(col("src").as("qsrc"), col("cluster_id").as("qlab"))
+      val qEdges = newEdges
+        .join(broadcast(srcLab), col("src") === col("qsrc"), "left")
+        .select(coalesce(col("qlab"), col("src")).as("src"), col("dst"),
+          col("match_score"))
+      val qLabels = graft.qa.Qa.anchorQuotient(spark, root,
+        ConnectedComponents.run(
+          newIds.select(col("id"))
+            .unionByName(qEdges.select(col("src").as("id"))).distinct(),
+          qEdges, cfg.maxCcIterations, cfg.ccPointerJump),
+        clustersPrev).localCheckpoint(false)
+      val remap = qLabels
+        .join(broadcast(newIds), Seq("id"), "left_anti")
+        .where(col("id") =!= col("cluster_id"))
+        .select(col("id").as("__from"), col("cluster_id").as("__to"))
+      val newAssign = qLabels.join(broadcast(newIds), Seq("id"))
+        .select(col("id").as("image_id"), col("cluster_id"))
+
+      // Recurring status needs member counts only for clusters a probed row
+      // lands in (decisions join recurring on the NEW rows' labels): count the
+      // touched clusters' previous members — a broadcast-filtered scan, never
+      // a corpus shuffle — plus the batch's own assignments. Counts equal the
+      // full-table counts append computes, restricted to the touched labels.
+      val touchedLabels = qLabels.select("cluster_id").distinct()
+      val prevTouched = clustersPrev
+        .join(broadcast(remap), col("cluster_id") === col("__from"), "left")
+        .withColumn("cluster_id", coalesce(col("__to"), col("cluster_id")))
+        .join(broadcast(touchedLabels), Seq("cluster_id"))
+        .select("image_id", "cluster_id")
+      val recurTouched = Dedup.recurring(prevTouched.unionByName(newAssign), cfg)
+
+      val decis = Dedup.decisionsEnriched(cleanNew, verifiedNew, newAssign,
+        recurTouched, cfg)
+      // EAGER: the serving answer is computed here, inside the probe-scoped
+      // conf, in one materialization pass (plus the CC rounds above)
+      ProbeResult(decis.localCheckpoint(true), lowQ.localCheckpoint(true))
+    }
 }

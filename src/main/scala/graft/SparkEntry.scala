@@ -81,13 +81,17 @@ object SparkEntry {
     "pipeline_audit" -> (Engine.pipelineAudit(_, _)),
     "pipeline_history" -> (Engine.pipelineHistory(_, _)),
     "pipeline_probe" -> (Engine.pipelineProbe(_, _)),
+    "pipeline_outbox" -> (Engine.pipelineOutbox(_, _)),
     "image_features" -> (Engine.imageFeatures(_, _)),
     "image_thumbnails" -> (Engine.imageThumbnails(_, _)),
     "video_frames" -> (Engine.videoFrames(_, _)),
     "audio_features" -> (Engine.audioFeatures(_, _)),
     "audio_dup_pairs" -> (Engine.audioDupPairs(_, _)),
-    "exact_dedup_corpus" -> (Engine.exactDedupCorpus(_, _)),
-    "substring_pairs_corpus" -> (Engine.substringPairsCorpus(_, _))
+    // round-5: these two moved from rows-only to oracle-checked — documents
+    // reshaped into the corpus schema with PLANTED exact copies / substring
+    // fragments, driving the same engine paths (exactRepMapFull, SuffixDup)
+    "exact_dedup_corpus" -> (DedupTwins.exactDedupCorpus(_, _)),
+    "substring_pairs_corpus" -> (DedupTwins.substringPairsCorpus(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -128,6 +132,8 @@ object SparkEntry {
     "q35_pagination" -> Relational.q35Sql,
     "q36_avg_match_score" -> DedupTwins.q36Sql,
     "q37_decision_timeline" -> DedupTwins.q37Sql,
-    "q38_duplicate_history" -> DedupTwins.q38Sql
+    "q38_duplicate_history" -> DedupTwins.q38Sql,
+    "exact_dedup_corpus" -> DedupTwins.exactDedupCorpusSql,
+    "substring_pairs_corpus" -> DedupTwins.substringPairsCorpusSql
   )
 }

@@ -9,12 +9,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * `parent_bug_id` star assignment, `app/services/duplicate_detector.py:80-94`,
  * with an order-independent equivalent).
  *
- * Why plain propagation and not large-star/small-star: dedup clusters are
- * shallow (stars and short chains around an anchor — diameter 2-4), so the
- * iteration count is bounded by the cluster diameter, not log(n); each
- * round is one shuffle (join + groupBy min). `localCheckpoint` truncates the
- * lineage each round so plans stay flat at any iteration count; a hard
- * `maxIter` guard backstops pathological inputs.
+ * Why plain propagation by default: dedup clusters are shallow — every
+ * generator links members to a GROUP REPRESENTATIVE (exact/norm/phash rep
+ * maps are min-id stars by construction, band-bucket pairs share the bucket
+ * rep through the grid join, substring pairs expand through the norm rep),
+ * so component diameter is bounded by the number of DISTINCT generators
+ * that can chain one hop each (star center to star center), ≈ 4-6 hops, not
+ * by corpus size. Each round is one shuffle (join + groupBy min);
+ * `localCheckpoint` truncates the lineage each round so plans stay flat.
+ *
+ * The bound is a property of the generators, NOT of arbitrary edge sets —
+ * a caller feeding raw chain-shaped edges (QA force-links daisy-chained by
+ * hand, an external edge table) can exceed it. Two defenses:
+ *
+ *  - `pointerJump = true` adds a path-halving step per round (label ←
+ *    label(label), the classic pointer-jumping of PRAM CC / Hash-to-Min):
+ *    propagation distance DOUBLES per round, so convergence is
+ *    O(log diameter) rounds at the cost of one extra self-join shuffle per
+ *    round. CcSpec proves a 64-deep chain converges in ≤ 9 rounds.
+ *  - truncation is an ERROR, never silent: if the loop hits `maxIter`
+ *    without an observed fixpoint, run() throws instead of returning labels
+ *    that may split one component into several.
  *
  * Only vertices that appear in an edge participate in the loop — singletons
  * (the overwhelming majority at web scale) never enter the shuffle and get
@@ -23,11 +38,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object ConnectedComponents {
 
   /**
-   * @param vertices one string-id column named `id`
-   * @param edges    (src, dst) string-id pairs
+   * @param vertices    one string-id column named `id`
+   * @param edges       (src, dst) string-id pairs
+   * @param maxIter     fixpoint-observation budget; exceeding it THROWS
+   * @param pointerJump add per-round path halving (O(log d) convergence for
+   *                    deep components; +1 shuffle/round)
    * @return (id, cluster_id) — cluster_id = min id in the component
    */
-  def run(vertices: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def run(vertices: DataFrame, edges: DataFrame, maxIter: Int = 50,
+      pointerJump: Boolean = false): DataFrame = {
     val spark: SparkSession = vertices.sparkSession
 
     val sym = edges.select(col("src").as("a"), col("dst").as("b"))
@@ -35,15 +54,15 @@ object ConnectedComponents {
 
     // lazy localCheckpoint: materialization rides the hashSum job below, so
     // each round costs ONE job (checkpoint + convergence check together)
-    // instead of two
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(false)
 
     // convergence via label-hash sum: labels only ever DECREASE per vertex
-    // (min propagation), so the multiset of labels is unchanged iff no
-    // vertex changed — comparing one aggregated hash sum per round replaces
-    // a join + count action (collision-cancellation odds ~2^-64)
+    // (min propagation; path halving composes mins, so it only decreases
+    // too), so the multiset of labels is unchanged iff no vertex changed —
+    // comparing one aggregated hash sum per round replaces a join + count
+    // action (collision-cancellation odds ~2^-64).
     // decimal(38,0) so ANSI mode can't overflow the sum of 2^63-scale hashes
     def hashSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
       df.select(coalesce(sum(xxhash64(col("label")).cast("decimal(38,0)")),
@@ -60,15 +79,31 @@ object ConnectedComponents {
     while (iter < maxIter && !converged) {
       val msgs = sym.join(labels, sym("a") === labels("id"))
         .select(col("b").as("id"), col("label"))
-      val next = labels.select("id", "label").union(msgs)
+      val prop = labels.select("id", "label").union(msgs)
         .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint(false)
+      // path halving: every label is the id of some vertex in the SAME
+      // component (true initially, preserved by min-composition), so
+      // label ← min(label, label(label)) stays in-component and doubles
+      // the distance information travels per round
+      val next = (if (!pointerJump) prop
+        else {
+          val parent = prop.select(col("id").as("label"), col("label").as("__ll"))
+          prop.join(parent, Seq("label"), "left")
+            .select(col("id"),
+              least(col("label"), coalesce(col("__ll"), col("label"))).as("label"))
+        }).localCheckpoint(false)
       val nextSum = hashSum(next)
       labels = next
       converged = prevSum != null && nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not reach a fixpoint within $maxIter " +
+          "iterations — the edge set has components deeper than the " +
+          "generator-derived bound; raise maxCcIterations or run with " +
+          "pointerJump = true (O(log diameter) rounds)")
 
     vertices.join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("cluster_id"))

@@ -78,8 +78,16 @@ final case class DedupConfig(
     minCaptionLen: Int = 10,
     minUniqueTokenRatio: Double = 0.3,
     maxSpecialCharRatio: Double = 0.3,
-    // clustering
-    maxCcIterations: Int = 50
+    // clustering. maxCcIterations is an OBSERVATION budget, not a truncation
+    // knob: ConnectedComponents throws if no fixpoint is seen within it.
+    // The generator-derived diameter bound (every generator links members
+    // through min-id star representatives, so components are chains of
+    // star centers a few hops long) keeps plain propagation comfortably
+    // inside 50; ccPointerJump=true switches to path halving (O(log d)
+    // rounds, +1 shuffle per round) for edge sets that break the bound —
+    // hand-chained QA force-links, external edge tables.
+    maxCcIterations: Int = 50,
+    ccPointerJump: Boolean = false
 ) {
   require(numHashes % bands == 0, "numHashes must be divisible by bands")
   require(maxHamming <= phashBands - phashAgree,

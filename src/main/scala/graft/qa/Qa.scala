@@ -54,13 +54,15 @@ object Qa {
     else Some(spark.read.parquet(s"$root/$OverridesTable"))
   }
 
-  /** Append one override; `action` is "link" or "split". Pair orientation is
-    * normalized to src < dst (the edge set's invariant). Later overrides for
-    * the same pair win (monotonic `seq`). */
+  /** Append one override; `action` is "link", "split" (pair edges) or
+    * "promote" (a single-id rep override, stored as src = dst = id). Pair
+    * orientation is normalized to src < dst (the edge set's invariant).
+    * Later overrides for the same pair win (monotonic `seq`). */
   def addOverride(spark: SparkSession, root: String,
       a: String, b: String, action: String): Unit = {
-    require(action == "link" || action == "split", s"unknown action '$action'")
-    require(a != b, "override endpoints must differ")
+    require(action == "link" || action == "split" || action == "promote",
+      s"unknown action '$action'")
+    require(action == "promote" || a != b, "override endpoints must differ")
     import spark.implicits._
     val seq = readOverrides(spark, root)
       .map(_.agg(max("seq")).head().getLong(0) + 1L).getOrElse(0L)
@@ -75,15 +77,27 @@ object Qa {
   def forceSplit(spark: SparkSession, root: String, a: String, b: String): Unit =
     addOverride(spark, root, a, b, "split")
 
+  /** Promote `id` to canonical representative of whatever cluster it lands
+    * in — the reference's promote_duplicate (`app/api/qa_interface.py:179-228`,
+    * where QA swaps which member anchors a duplicate group). The graft's
+    * cluster label is min-id by construction; a promote row re-anchors the
+    * label to `id` AFTER connected-components derivation (`applyPromotes`),
+    * so membership is untouched and only the canonical name changes. The
+    * latest promote (by seq) inside one final cluster wins. */
+  def promote(spark: SparkSession, root: String, id: String): Unit =
+    addOverride(spark, root, id, id, "promote")
+
   /** Apply the root's overrides to an edge set (src, dst, match_score):
     * drop force-split pairs, add force-link pairs at score 1.0 (deduped
     * against measured edges — max score wins). Last override per pair wins.
-    * The override table is QA-scale and broadcasts. */
+    * Promote rows are rep overrides, not edges — they apply after CC via
+    * `applyPromotes`. The override table is QA-scale and broadcasts. */
   def applyOverrides(spark: SparkSession, root: String, edges: DataFrame): DataFrame =
     readOverrides(spark, root) match {
       case None => edges
       case Some(ov) =>
-        val last = ov.groupBy(col("src"), col("dst"))
+        val last = ov.where(col("action") =!= "promote")
+          .groupBy(col("src"), col("dst"))
           .agg(max(struct(col("seq"), col("action"))).as("l"))
           .select(col("src"), col("dst"), col("l.action").as("action"))
         val splits = last.where(col("action") === "split").select("src", "dst")
@@ -94,6 +108,89 @@ object Qa {
           .groupBy(col("src"), col("dst"))
           .agg(max(col("match_score")).as("match_score"))
     }
+
+  /** The root's promote rows as (pid, pseq), or None when none exist. */
+  private def promotes(spark: SparkSession, root: String): Option[DataFrame] =
+    readOverrides(spark, root).flatMap { ov =>
+      val pr = ov.where(col("action") === "promote")
+        .select(col("src").as("pid"), col("seq").as("pseq"))
+      // QA-scale table: a driver-side emptiness probe here keeps the two
+      // anchor joins out of EVERY clusters derivation on promote-free roots
+      if (pr.isEmpty) None else Some(pr)
+    }
+
+  /** Re-anchor cluster labels to their promoted member (latest promote per
+    * FINAL cluster wins). Runs after every CC label derivation that persists
+    * `clusters` — batch, incremental slow path, and refresh — so decisions /
+    * recurring / metrics all see the promoted label. Membership is a pure
+    * rename: no edges change, so counts and groupings are untouched. The
+    * anchor map is promote-scale and broadcasts; the labels table is only
+    * scanned once. */
+  def applyPromotes(spark: SparkSession, root: String, labels: DataFrame): DataFrame =
+    promotes(spark, root) match {
+      case None => labels
+      case Some(pr) =>
+        val anchors = labels.join(broadcast(pr), col("image_id") === col("pid"))
+          .groupBy(col("cluster_id"))
+          .agg(max(struct(col("pseq"), col("pid"))).as("m"))
+          .select(col("cluster_id"), col("m.pid").as("__anchor"))
+        labels.join(broadcast(anchors), Seq("cluster_id"), "left")
+          .select(col("image_id"),
+            coalesce(col("__anchor"), col("cluster_id")).as("cluster_id"))
+    }
+
+  /**
+   * Promote anchoring for a QUOTIENT labeling (Probe's read-only path):
+   * `qLabels` (id, cluster_id) covers only touched super-nodes + new ids —
+   * not full membership — so a promoted id's FINAL label is found by
+   * composing its stored label (clustersPrev) through the quotient labels,
+   * then the anchor re-map applies to the quotient rows. Untouched clusters
+   * already carry their anchored label in the persisted table (the pending-
+   * overrides guard in Probe.run enforces that precondition).
+   */
+  def anchorQuotient(spark: SparkSession, root: String, qLabels: DataFrame,
+      clustersPrev: DataFrame): DataFrame =
+    promotes(spark, root) match {
+      case None => qLabels
+      case Some(pr) =>
+        val stored = clustersPrev.join(broadcast(pr), col("image_id") === col("pid"))
+          .select(col("pid"), col("pseq"), col("cluster_id").as("lbl0"))
+        val fin = stored.join(
+            qLabels.select(col("id").as("lbl0"), col("cluster_id").as("lbl1")),
+            Seq("lbl0"), "left")
+          .select(col("pid"), col("pseq"),
+            coalesce(col("lbl1"), col("lbl0")).as("lblf"))
+        val anchors = fin.groupBy(col("lblf"))
+          .agg(max(struct(col("pseq"), col("pid"))).as("m"))
+          .select(col("lblf").as("cluster_id"), col("m.pid").as("__anchor"))
+        qLabels.join(broadcast(anchors), Seq("cluster_id"), "left")
+          .select(col("id"),
+            coalesce(col("__anchor"), col("cluster_id")).as("cluster_id"))
+    }
+
+  // ---- override bookkeeping (which derivation reflects what) ---------------
+
+  private def appliedSeqPath(root: String) = s"$root/_overrides_applied"
+
+  /** Highest override seq recorded, or -1 when the table doesn't exist. */
+  def maxOverrideSeq(spark: SparkSession, root: String): Long =
+    readOverrides(spark, root)
+      .map(_.agg(max("seq")).head().getLong(0)).getOrElse(-1L)
+
+  /** Stamp the root: its persisted global stages reflect overrides up to
+    * `seq`. Written by every path that re-derives clusters with overrides
+    * applied (batch, incremental slow path, refreshGlobal). */
+  private[graft] def recordOverridesApplied(root: String, seq: Long): Unit =
+    Layout.markerWrite(appliedSeqPath(root), seq.toString)
+
+  /** Overrides recorded but not yet reflected in the persisted clusters /
+    * decisions (Qa.forceLink without a refresh). Read-only consumers of the
+    * global stages (Probe) must refuse or refresh: their quotient math
+    * composes with the PERSISTED labels, and a pending override would make
+    * probe decisions diverge from what the next append writes. */
+  def pendingOverrides(spark: SparkSession, root: String): Boolean =
+    maxOverrideSeq(spark, root) !=
+      Layout.markerRead(appliedSeqPath(root)).map(_.trim.toLong).getOrElse(-1L)
 
   // ---- row mutations -------------------------------------------------------
 
@@ -139,12 +236,15 @@ object Qa {
       .where(col("status") =!= Approved)
 
     Seq("clusters", "recurring", "decisions", "audit").foreach(Layout.invalidate(root, _))
+    val ovSeq = maxOverrideSeq(spark, root)
     val edges = applyOverrides(spark, root,
       verifiedAll.where(col("is_edge")).select("src", "dst", "match_score"))
     val clusters = Layout.runStage(spark, root, "clusters")(
-      ConnectedComponents.run(
-        clean.select(col("image_id").as("id")), edges, cfg.maxCcIterations)
-        .select(col("id").as("image_id"), col("cluster_id")))
+      applyPromotes(spark, root, ConnectedComponents.run(
+        clean.select(col("image_id").as("id")), edges, cfg.maxCcIterations,
+        cfg.ccPointerJump)
+        .select(col("id").as("image_id"), col("cluster_id"))))
+    recordOverridesApplied(root, ovSeq)
     val recur = Layout.runStage(spark, root, "recurring")(
       Dedup.recurring(clusters, cfg))
     val decis = Layout.runStage(spark, root, "decisions")(

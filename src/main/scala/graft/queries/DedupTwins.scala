@@ -400,4 +400,101 @@ object DedupTwins {
       |  (d.decision = 'blocked') AS was_blocked, mm.match_method
       |FROM dec d LEFT JOIN mm ON mm.da = d.best_match_id AND mm.db = d.doc_id
       |WHERE d.decision <> 'new'""".stripMargin
+
+  // ---- exact_dedup_corpus: hash-groupBy exact dedup, oracle-checked --------
+  //   (round-4 verdict #6: this operator was a rows-only entry; documents has
+  //   NO natural byte-identical texts — 500/500 distinct — so the corpus is
+  //   documents reshaped into the image+caption schema with PLANTED exact
+  //   copies of every 5th doc, a derivation both engines express identically.
+  //   The Spark side drives the REAL pipeline path: Candidates.exactRepMapFull
+  //   (repTag groupBy+join-back, the exact-group stage of Dedup.candidates).)
+
+  /** Corpus-shaped rows from documents: caption = text, metadata from the
+    * table's own columns, phash = the md5-low64 shared hash (q27), plus a
+    * byte-identical copy ("dup-…", sorting after its original) of every
+    * 5th doc. */
+  private def plantedCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir).select(
+      col("doc_id"),
+      concat(lit("doc-"), lpad(col("doc_id").cast("string"), 10, "0")).as("image_id"),
+      col("text").as("caption"),
+      col("n_chars").cast("int").as("w"),
+      length(col("lang")).cast("int").as("h"),
+      col("source").as("fmt"),
+      md5Lo64(col("text")).as("phash"))
+    base.drop("doc_id").unionByName(
+      base.where(pmod(col("doc_id"), lit(5)) === 0)
+        .withColumn("image_id", concat(lit("dup-"), substring(col("image_id"), 5, 10)))
+        .drop("doc_id"))
+  }
+
+  def exactDedupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val feats = plantedCorpus(spark, dir)
+      .withColumn("norm", Shingle.normalizeCol(col("caption")))
+    Candidates.exactRepMapFull(feats)
+      .groupBy(col("rep").as("keeper"))
+      .agg(count(lit(1)).as("copies"))
+      .where(col("copies") > 1)
+      .orderBy("keeper")
+  }
+
+  /** Grouping twin: phash is a pure function of text, so grouping by
+    * md5(text) partitions rows exactly as the engine's md5-low64 phash
+    * (modulo 2^-64 truncation collisions); rep = min member id. */
+  val exactDedupCorpusSql: String =
+    """WITH c AS (
+      |  SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 10, '0') AS image_id,
+      |         text, CAST(n_chars AS INT) AS w, CAST(len(lang) AS INT) AS h,
+      |         source AS fmt
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'dup-' || lpad(CAST(doc_id AS VARCHAR), 10, '0'),
+      |         text, CAST(n_chars AS INT), CAST(len(lang) AS INT), source
+      |  FROM documents WHERE doc_id % 5 = 0
+      |), k AS (
+      |  SELECT image_id,
+      |         trim(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g')) AS norm,
+      |         w, h, fmt, md5(text) AS ph
+      |  FROM c)
+      |SELECT min(image_id) AS keeper, CAST(count(*) AS BIGINT) AS copies
+      |FROM k GROUP BY norm, w, h, fmt, ph HAVING count(*) > 1
+      |ORDER BY keeper""".stripMargin
+
+  // ---- substring_pairs_corpus: the suffix pass with planted fragments ------
+  //   (round-4 verdict #6: q26 verifies the suffix join on documents' NATURAL
+  //   containment only; this twin additionally PLANTS token-aligned prefix
+  //   fragments — the corpus-generator shape — and oracle-checks the union.)
+
+  def substringPairsCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = DedupConfig.default
+    val norms = docs(spark, dir).select(
+      col("doc_id"),
+      concat(lit("doc-"), lpad(col("doc_id").cast("string"), 10, "0")).as("id"),
+      Shingle.normalizeCol(col("text")).as("norm"))
+    val frags = norms.where(pmod(col("doc_id"), lit(7)) === 0)
+      .withColumn("norm", array_join(slice(split(col("norm"), " "), 1, 8), " "))
+      .where(length(col("norm")) >= cfg.substringMinLen)
+      .select(concat(lit("frag-"), substring(col("id"), 5, 10)).as("id"), col("norm"))
+    SuffixDup.substringPairs(
+      norms.select("id", "norm").unionByName(frags), cfg)
+      .orderBy("src", "dst")
+  }
+
+  val substringPairsCorpusSql: String =
+    """WITH n0 AS (
+      |  SELECT doc_id, 'doc-' || lpad(CAST(doc_id AS VARCHAR), 10, '0') AS id,
+      |         trim(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g')) AS nrm
+      |  FROM documents
+      |), fr AS (
+      |  SELECT 'frag-' || lpad(CAST(doc_id AS VARCHAR), 10, '0') AS id,
+      |         array_to_string(list_slice(string_split(nrm, ' '), 1, 8), ' ') AS nrm
+      |  FROM n0 WHERE doc_id % 7 = 0
+      |), u AS (
+      |  SELECT id, nrm FROM n0
+      |  UNION ALL SELECT id, nrm FROM fr WHERE len(nrm) >= 32)
+      |SELECT a.id AS src, b.id AS dst
+      |FROM u a JOIN u b ON a.id <> b.id
+      |WHERE len(a.nrm) >= 32 AND a.nrm <> b.nrm
+      |  AND contains(' ' || b.nrm || ' ', ' ' || a.nrm || ' ')
+      |ORDER BY src, dst""".stripMargin
 }

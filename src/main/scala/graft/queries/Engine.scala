@@ -255,18 +255,39 @@ object Engine {
     scala.collection.concurrent.TrieMap.empty[String, String]
   graft.util.Caches.onRelease(t => if (t.isEmpty) probeRootMemo.clear())
 
-  def pipelineProbe(spark: SparkSession, dir: String): DataFrame = {
+  /** Bootstrap (once per JVM+dir) the serving root holding the first 95% of
+    * the corpus. DELETED and rebuilt on first access in each process: a
+    * root checkpointed by an older build (different thresholds / decision
+    * logic) would otherwise silently serve stale probe outcomes — driver
+    * correctness dumps must reflect HEAD, and the resumable-root speedup is
+    * not worth a build-consistency hole. */
+  private def probeRoot(spark: SparkSession, dir: String): (String, DataFrame, String) = {
     val n = synthRows(dir)
     val cut = f"img-${n * 95 / 100}%010d"
     val corpus = Synth.corpus(spark, n).toDF()
     val root = probeRootMemo.getOrElseUpdate(
       s"${graft.util.Caches.sessionId(spark)}:$dir", {
         val r = s"target/probe-root-$n"
+        graft.util.Disk.rm(r)
         graft.Dedup.runCheckpointed(spark, corpus.where(col("image_id") < cut), r)
         graft.Incremental.ensureIndexes(spark, r)
         r
       })
+    (root, corpus, cut)
+  }
+
+  def pipelineProbe(spark: SparkSession, dir: String): DataFrame = {
+    val (root, corpus, cut) = probeRoot(spark, dir)
     graft.Probe.run(spark, root, corpus.where(col("image_id") >= cut)).outcomes
+  }
+
+  /** Outbound-sync outbox over the serving root (reference
+    * `app/tasks.py:36-154`): the pending duplicate events a fresh external
+    * consumer (tracker sync, labeling queue) would deliver. detected_at is
+    * processing wall-clock — dropped so the driver dump is deterministic. */
+  def pipelineOutbox(spark: SparkSession, dir: String): DataFrame = {
+    val (root, _, _) = probeRoot(spark, dir)
+    graft.integrations.Outbox.pending(spark, root, "driver").drop("detected_at")
   }
 
   def pipelineDecisions(spark: SparkSession, dir: String): DataFrame =
@@ -428,20 +449,4 @@ object Engine {
         SimHash.hammingCol(col("fa"), col("fb")).as("hamming"))
   }
 
-  /** Exact dedup by content fingerprint over the synthetic corpus
-    * (groupBy-hash exact dedup; non-trivial because the corpus plants
-    * byte-identical rows). */
-  def exactDedupCorpus(spark: SparkSession, dir: String): DataFrame =
-    Synth.corpus(spark, synthRows(dir)).toDF()
-      .groupBy(xxhash64(col("caption")).as("caption_hash"),
-        col("w"), col("h"), col("fmt"), col("phash"))
-      .agg(count(lit(1)).as("copies"), min(col("image_id")).as("keeper"))
-      .where(col("copies") > 1)
-
-  /** Substring-duplicate pairs over the corpus captions (suffix pass). */
-  def substringPairsCorpus(spark: SparkSession, dir: String): DataFrame = {
-    val caps = Synth.corpus(spark, synthRows(dir)).toDF()
-      .select(col("image_id").as("id"), Shingle.normalizeCol(col("caption")).as("norm"))
-    graft.sig.SuffixDup.substringPairs(caps, DedupConfig.default)
-  }
 }

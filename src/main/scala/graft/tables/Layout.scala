@@ -203,6 +203,14 @@ object Layout {
   def read(spark: SparkSession, root: String, stage: String): DataFrame =
     spark.read.parquet(s"$root/$stage")
 
+  /** The stage manifest's raw content ("" when absent) — a cheap driver-side
+    * change stamp: every mutation path (runStage overwrite, partition
+    * append, merge, compaction) rewrites the manifest, so readers that
+    * cache stage frames (Probe's serving context) can detect staleness by
+    * comparing stamps, with zero Spark jobs. */
+  def manifestStamp(root: String, stage: String): String =
+    markerRead(manifestPath(root, stage)).getOrElse("")
+
   /**
    * Crash repair for the two-rename partition swaps below (mergeStage /
    * compactStage). Their swap is: rename(live → bak), rename(fresh → live).

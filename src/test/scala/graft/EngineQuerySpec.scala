@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.queries.{Documents, Engine}
@@ -139,17 +140,23 @@ class EngineQuerySpec extends AnyFunSuite {
       "ivf results must be deterministic run-to-run")
   }
 
-  test("exact dedup over corpus finds the planted identical groups") {
+  // exact_dedup_corpus / substring_pairs_corpus moved to DedupTwins in
+  // round 5 (planted-duplicate documents derivations, DuckDB-oracle-checked
+  // by the driver); the hot-group exact-dedup behavior over the SYNTHETIC
+  // corpus stays covered by the pipeline itself (exact generator + rep maps,
+  // PipelineSpec/CandidatesSpec).
+  test("exact dedup twin finds exactly the planted copies") {
     import spark.implicits._
-    val groups = Engine.exactDedupCorpus(spark, dir)
+    val groups = graft.queries.DedupTwins.exactDedupCorpus(spark, dir)
       .select("copies").as[Long].collect()
     assert(groups.nonEmpty)
-    assert(groups.max >= Engine.synthRows(dir) / 20, "hot group must surface")
+    assert(groups.forall(_ == 2), "every planted copy pairs with its original")
   }
 
-  test("substring pairs over corpus are non-empty and verified") {
-    val pairs = Engine.substringPairsCorpus(spark, dir)
-    assert(pairs.count() > 0)
+  test("substring pairs twin finds the planted fragments") {
+    val pairs = graft.queries.DedupTwins.substringPairsCorpus(spark, dir)
+    assert(pairs.where(col("src").startsWith("frag-")).count() > 0,
+      "planted token-aligned prefixes must be detected as contained")
   }
 
   test("percentile_approx tracks the exact percentile (A10)") {

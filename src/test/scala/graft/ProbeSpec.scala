@@ -123,6 +123,72 @@ class ProbeSpec extends AnyFunSuite {
     assert(probed.filter(_.head == "img-zzzzzz0009") == appended)
   }
 
+  test("probe fails fast on pending (unrefreshed) QA overrides") {
+    val root = "target/probe-spec-pending"
+    deleteRec(Paths.get(root))
+    val all = Synth.corpus(spark, 200).toDF()
+    val res = Dedup.runCheckpointed(spark, all, root, DedupConfig.default)
+    val ids = res.clusters.select("image_id").limit(2).collect().map(_.getString(0))
+    val batch = all.where(col("image_id") === ids(0))
+      .withColumn("image_id", lit("img-zzzzzz0003"))
+
+    graft.qa.Qa.forceLink(spark, root, ids(0), ids(1)) // recorded, NOT refreshed
+    val e = intercept[IllegalStateException](Probe.run(spark, root, batch))
+    assert(e.getMessage.contains("refreshGlobal"))
+
+    graft.qa.Qa.refreshGlobal(spark, root, DedupConfig.default)
+    assert(Probe.run(spark, root, batch).outcomes.count() == 1)
+  }
+
+  test("probe composes with promote rep-overrides (incl. a merge through the probe row)") {
+    val root = "target/probe-spec-promote"
+    deleteRec(Paths.get(root))
+    val all = Synth.corpus(spark, 400).toDF()
+    val res = Dedup.runCheckpointed(spark, all, root, DedupConfig.default)
+
+    import spark.implicits._
+    val c0 = res.clusters.as[(String, String)].collect().toMap
+    val bySize = c0.toSeq.groupBy(_._2).view.mapValues(_.map(_._1).toSet)
+      .filter(_._2.size >= 2).toSeq.sortBy(_._1)
+    assert(bySize.size >= 2, "need two multi-member clusters")
+    val (lab1, mem1) = bySize(0)
+    val (lab2, mem2) = bySize(1)
+    // promote a NON-min member of cluster 1 (min-id labeling never picks it)
+    val anchor = mem1.toSeq.sorted.apply(1)
+    graft.qa.Qa.promote(spark, root, anchor)
+    graft.qa.Qa.refreshGlobal(spark, root, DedupConfig.default)
+
+    // bridge row: caption/meta of a cluster-1 member (content edge) + the
+    // phash of a cluster-2 member (passes_image edge) — the probe's quotient
+    // CC must merge both clusters and the anchor re-map must keep the
+    // promoted id as the merged label
+    val aRow = mem1.toSeq.sorted.head
+    val cPhash = all.where(col("image_id") === mem2.toSeq.sorted.head)
+      .select("phash").head().getLong(0)
+    val bridge = all.where(col("image_id") === aRow)
+      .withColumn("image_id", lit("img-zzzzzz0007"))
+      .withColumn("phash", lit(cPhash))
+
+    val probe = Probe.run(spark, root, bridge)
+    val d = probe.decisions.where(col("image_id") === "img-zzzzzz0007")
+      .select("cluster_id", "decision").head()
+    assert(d.getString(0) == anchor,
+      s"merged cluster must keep the promoted anchor, got ${d.getString(0)}")
+    assert(d.getString(1) == "blocked")
+
+    // byte parity with what an append of the same batch writes
+    val probed = rows(probe.decisions)
+    val inc = Incremental.append(spark, root, bridge, "1", DedupConfig.default)
+    val appended = rows(inc.decisions.where(col("batch") === "1").drop("batch"))
+    assert(probed == appended, {
+      val a = (probed -- appended).take(3); val b = (appended -- probed).take(3)
+      s"probe-only=$a append-only=$b"
+    })
+    // and the append's full table agrees the merge kept the anchor
+    val c1 = Layout.read(spark, root, "clusters").as[(String, String)].collect().toMap
+    assert((mem1 ++ mem2 + "img-zzzzzz0007").forall(m => c1(m) == anchor))
+  }
+
   test("pipeline_probe driver query: one outcome per held-out row") {
     val out = graft.queries.Engine.pipelineProbe(spark, "/root/testdata/sf0.001")
       .collect()

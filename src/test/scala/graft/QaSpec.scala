@@ -126,4 +126,57 @@ class QaSpec extends AnyFunSuite {
     assert(c4(es) != c4(ed), "split override must survive the append's re-derivation")
     assert(!c4.contains(rej), "rejected row stays out of the cluster space")
   }
+
+  test("promote: rep override re-anchors a cluster, keeps membership, survives appends") {
+    import spark.implicits._
+    val root = "target/qa-promote-root"
+    deleteRec(Paths.get(root))
+    val all = Synth.corpus(spark, 700).toDF().cache()
+    Dedup.runCheckpointed(spark, all.where(col("image_id") < f"img-${600}%010d"),
+      root, cfg)
+
+    def clustersOf = spark.read.parquet(s"$root/clusters")
+      .as[(String, String)].collect().toMap
+
+    val c0 = clustersOf
+    val (label, members) = c0.toSeq.groupBy(_._2).view.mapValues(_.map(_._1).toSet)
+      .filter { case (cid, ms) => ms.size >= 3 && ms.min == cid }
+      .toSeq.minBy(_._1)
+    // promote a NON-min member: min-id labeling would never pick it
+    val anchor = members.toSeq.sorted.apply(1)
+    assert(anchor != label)
+
+    val untouchedFeat = snapshot(s"$root/features")
+    val untouchedVerified = snapshot(s"$root/verified")
+    Qa.promote(spark, root, anchor)
+    Qa.refreshGlobal(spark, root, cfg)
+
+    val c1 = clustersOf
+    assert(members.forall(m => c1(m) == anchor),
+      s"every member of $label must re-anchor to $anchor")
+    assert(c1.count(_._2 == anchor) == members.size, "membership must not change")
+    // decisions carry the promoted label; the decision VALUES are untouched
+    val dec = spark.read.parquet(s"$root/decisions")
+      .select("image_id", "cluster_id").as[(String, String)].collect().toMap
+    assert(members.forall(m => dec(m) == anchor))
+    // copy-on-write: row-level stages are not rewritten by a rep override
+    assert(snapshot(s"$root/features") == untouchedFeat)
+    assert(snapshot(s"$root/verified") == untouchedVerified)
+
+    // latest promote wins inside one cluster
+    val anchor2 = members.toSeq.sorted.apply(2)
+    Qa.promote(spark, root, anchor2)
+    Qa.refreshGlobal(spark, root, cfg)
+    assert(members.forall(m => clustersOf(m) == anchor2))
+
+    // the promote survives an incremental append's re-derivation (overrides
+    // force the slow path, which re-applies promotes after CC)
+    Incremental.append(spark, root,
+      all.where(col("image_id") >= f"img-${600}%010d"), "s1", cfg)
+    val c2 = clustersOf
+    val merged = c2.toSeq.filter(_._2 == c2(anchor2)).map(_._1).toSet
+    assert(members.subsetOf(merged), "membership can only grow through an append")
+    assert(c2(anchor2) == anchor2,
+      "the promoted anchor must still name its (possibly grown) cluster")
+  }
 }

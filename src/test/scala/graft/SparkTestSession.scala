@@ -15,7 +15,14 @@ import org.apache.spark.sql.SparkSession
 object SparkTestSession {
   lazy val spark: SparkSession = {
     graft.util.Disk.sweep("target", "test-local-")
-    graft.util.Sessions.build("graft-tests", "4",
+    // Suite wall time is dominated by per-job driver floors (planning,
+    // parquet commit protocol, scheduling), not task data: local[4] ->
+    // local[8] on the 4 heaviest suites only bought 16.5 -> 12.8 min.
+    // The real lever is suite-level parallelism (Test/testForkedParallel):
+    // concurrent suites overlap their driver floors against one shared
+    // session. 16 executor threads keep task slots from starving under
+    // concurrent jobs; shuffle stays at 8 partitions per stage.
+    graft.util.Sessions.build("graft-tests", "16",
       Map("spark.sql.shuffle.partitions" -> "8",
         "spark.local.dir" -> graft.util.Disk.ownLocalDir("test")))
   }

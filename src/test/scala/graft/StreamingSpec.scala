@@ -46,7 +46,11 @@ class StreamingSpec extends AnyFunSuite {
     }
 
     val q = StreamingDedup.start(spark, inDir, root, DedupConfig.default)
-    q.awaitTermination(300000)
+    // AvailableNow terminates when drained; awaitTermination(timeout)
+    // returns FALSE on timeout without failing — assert it, or a slow run
+    // (suites run concurrently) reads partial output and misdiagnoses as
+    // a correctness failure
+    assert(q.awaitTermination(900000), "stream did not drain in 15 min")
 
     val full = Dedup.runCheckpointed(spark, all, rootFull, DedupConfig.default)
 
@@ -163,7 +167,7 @@ class StreamingSpec extends AnyFunSuite {
       .format("memory")
       .queryName("ingest_monitor")
       .start()
-    q.awaitTermination(300000)
+    assert(q.awaitTermination(900000), "stream did not drain in 15 min")
 
     // the watermark must actually have DROPPED the late rows, not just
     // evicted state — numRowsDroppedByWatermark is the per-operator counter
@@ -210,7 +214,7 @@ class StreamingSpec extends AnyFunSuite {
     // but pre-atomic roots and non-atomic stores (s3a) can still present
     // this; the redelivered epoch must resume the bootstrap — a parse crash
     // here would wedge every redelivery forever.
-    Layout.markerWrite(s"$root/_bootstrap_epoch", "1 garbage")
+    Layout.markerWrite(s"$root/_bootstrap_epoch", "1\u0000garbage")
     StreamingDedup.absorb(spark, b0, root, 0L, DedupConfig.default)
     assert(Layout.markerExists(s"$root/_epoch_0"))
     assert(Layout.isComplete(root, "clusters"))
