@@ -285,20 +285,25 @@ object Incremental {
       .select("src", "dst", "match_score")
 
     val (clusters, recur, decis) = if (canFast) {
-      // localCheckpoint (lazy): the fast path reads clusters/decisions and
-      // writes their successors back to the SAME stage paths — truncating
-      // the lineage to materialized blocks is what makes the overwrite
-      // legal (and it caps the read at one pass). At warehouse scale the
-      // same update ships as `Layout.mergeStage` partition rewrites against
-      // a snapshot dir instead of a full-table overwrite; the full-table
-      // write here keeps ResumeSpec's append ≡ full-recompute byte parity.
+      // localCheckpoint EAGER: the fast path reads clusters/decisions and
+      // writes their successors back to the SAME stage paths — the source
+      // must be fully materialized into blocks BEFORE the overwrite deletes
+      // the files, or the write job races its own input (a lazy checkpoint
+      // materializes during the first job that computes it, which IS the
+      // overwrite; measured: 9 concurrent appends all lost that race and
+      // died on FileNotFound mid-rewrite). Costs one extra job; the full
+      // table pass itself was always paid by the rewrite. At warehouse
+      // scale the same update ships as `Layout.mergeStage` partition
+      // rewrites against a snapshot dir instead of a full-table overwrite;
+      // the full-table write here keeps ResumeSpec's append ≡
+      // full-recompute byte parity.
       val clustersPrev = Layout.read(spark, root, "clusters")
         // crash-rerun guard: a prior attempt may have committed a clusters
         // table that already includes this batch — new rows are recomputed
         // below, so they must not also survive from the contaminated read
         .join(broadcast(newIds.select(col("id").as("image_id"))),
           Seq("image_id"), "left_anti")
-        .localCheckpoint(false)
+        .localCheckpoint()
       // quotient graph: old endpoints collapse to their current cluster
       // label (one super-node per touched component); only src can be old
       // (dst is always new), so one broadcast lookup maps it. The big
@@ -349,7 +354,8 @@ object Incremental {
       // new dst lives in this batch's partition)
       val decisPrev = Layout.read(spark, root, "decisions")
         .where(col("batch") =!= batch)
-        .localCheckpoint(false)
+        // eager for the same self-overwrite reason as clustersPrev above
+        .localCheckpoint()
       // recurring is the small side (clusters over the member threshold);
       // no broadcast hint — AQE converts when it fits, exactly as the full
       // path's recurring join behaves

@@ -179,18 +179,25 @@ object Probe {
     * eagerly materialized inside the scope, so restored conf never replans
     * probe work. (Serving assumes the session isn't concurrently planning
     * other queries — the same exclusivity a spark-submit serving job has.) */
-  private def withProbeConf[A](spark: SparkSession)(f: => A): A = {
-    val overrides = Map(
-      "spark.sql.shuffle.partitions" -> ProbePartitions,
-      "spark.sql.adaptive.enabled" -> "false")
-    val saved = overrides.keys.map(k => k -> spark.conf.getOption(k)).toMap
-    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
-    try f
-    finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
+  private val confLock = new Object
+  private def withProbeConf[A](spark: SparkSession)(f: => A): A =
+    // serialized: two concurrent probes would otherwise race the
+    // save/restore (B saves A's override as "previous" and restores it
+    // permanently). Probes are short and a serving deployment issues them
+    // from one loop anyway; the heavy context build happens OUTSIDE this
+    // scope, so only plan+materialize serializes.
+    confLock.synchronized {
+      val overrides = Map(
+        "spark.sql.shuffle.partitions" -> ProbePartitions,
+        "spark.sql.adaptive.enabled" -> "false")
+      val saved = overrides.keys.map(k => k -> spark.conf.getOption(k)).toMap
+      overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+      try f
+      finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
     }
-  }
 
   private def evaluate(ctx: Context, input: DataFrame): ProbeResult =
     withProbeConf(ctx.spark) {

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.scalatest.ParallelTestExecution
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.cluster.ConnectedComponents
@@ -11,7 +12,7 @@ import graft.cluster.ConnectedComponents
  * itself must (a) never silently truncate a deeper graph and (b) offer an
  * O(log d) path for edge sets that break the bound.
  */
-class CcSpec extends AnyFunSuite {
+class CcSpec extends AnyFunSuite with ParallelTestExecution {
   lazy val spark = SparkTestSession.spark
 
   private def chain(n: Int) = {

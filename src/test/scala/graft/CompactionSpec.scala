@@ -4,6 +4,7 @@ import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.functions._
+import org.scalatest.ParallelTestExecution
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.config.DedupConfig
@@ -18,7 +19,7 @@ import graft.tables.Layout
  * changing a row, a partition value, the manifest's row counts, or resume
  * state — and is idempotent.
  */
-class CompactionSpec extends AnyFunSuite {
+class CompactionSpec extends AnyFunSuite with ParallelTestExecution {
   lazy val spark = SparkTestSession.spark
   val cfg = DedupConfig.default
 

@@ -4,6 +4,7 @@ import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.functions._
+import org.scalatest.ParallelTestExecution
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.config.DedupConfig
@@ -13,7 +14,7 @@ import graft.tables.Layout
 /** The read-only serving path: `Probe.run` must return exactly the decision
   * rows a subsequent `Incremental.append` of the same batch would write,
   * while leaving every byte under the root untouched. */
-class ProbeSpec extends AnyFunSuite {
+class ProbeSpec extends AnyFunSuite with ParallelTestExecution {
   lazy val spark = SparkTestSession.spark
 
   private def deleteRec(p: Path): Unit =

@@ -4,6 +4,7 @@ import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.functions._
+import org.scalatest.ParallelTestExecution
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.config.DedupConfig
@@ -16,7 +17,7 @@ import graft.tables.Layout
  * MERGE through the Layout facade (approve/reject the low-quality queue)
  * and force-link/force-split override edges into connected components.
  */
-class QaSpec extends AnyFunSuite {
+class QaSpec extends AnyFunSuite with ParallelTestExecution {
   lazy val spark = SparkTestSession.spark
   val cfg = DedupConfig.default
 

@@ -3,6 +3,7 @@ package graft
 import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
+import org.scalatest.ParallelTestExecution
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.config.DedupConfig
@@ -12,7 +13,7 @@ import graft.tables.Layout
 /** Resumability gate (BASELINE.md): any stage re-runnable from its
   * per-stage checkpoint; a restart skips completed stages and produces
   * identical outputs. */
-class ResumeSpec extends AnyFunSuite {
+class ResumeSpec extends AnyFunSuite with ParallelTestExecution {
   lazy val spark = SparkTestSession.spark
 
   private def deleteRec(p: Path): Unit =

@@ -4,6 +4,7 @@ import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.functions._
+import org.scalatest.ParallelTestExecution
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.config.DedupConfig
@@ -15,7 +16,7 @@ import graft.streaming.StreamingDedup
  * foreachBatch → Incremental.append, outputs identical to a batch run over
  * the union of all arrivals.
  */
-class StreamingSpec extends AnyFunSuite {
+class StreamingSpec extends AnyFunSuite with ParallelTestExecution {
   lazy val spark = SparkTestSession.spark
 
   private def deleteRec(p: Path): Unit =
