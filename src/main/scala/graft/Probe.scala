@@ -14,9 +14,10 @@ import graft.tables.Layout
  * Read-only probe outputs: dedup decisions for the probed rows (the exact
  * rows `Incremental.append` would write for this batch) plus the
  * quality-gate rejects that never reach similarity search. Both frames are
- * localCheckpointed — the serving answer is COMPUTED when the probe call
+ * LocalRelations — the serving answer is COMPUTED when the probe call
  * returns, not a lazy plan (a caller's later action must not silently
- * re-run the matching under different session conf).
+ * re-run the matching under different session conf), and consuming it
+ * (outcomes, collects) costs no cluster work.
  */
 final case class ProbeResult(decisions: DataFrame, lowQuality: DataFrame) {
 
@@ -64,9 +65,14 @@ final case class ProbeResult(decisions: DataFrame, lowQuality: DataFrame) {
  *     driver sync per shuffle stage; probe shuffles are too small to ever
  *     re-plan profitably). The session conf is restored before returning;
  *     the result frames are already materialized by then.
- *  3. The matching is evaluated EAGERLY into localCheckpoints, so the whole
- *     probe is a handful of jobs (quotient-CC rounds + one materialization)
- *     instead of dozens of lazily-recomputed stage chains.
+ *  3. Everything batch-sized lives on the DRIVER as LocalRelations
+ *     (`local`), cluster jobs run only at the index-cohort boundaries
+ *     (cached stage ⋈ broadcast batch keys, re-localized immediately), and
+ *     the quotient CC is a driver union-find
+ *     (`ConnectedComponents.runLocal`). Serving latency is a job-count
+ *     floor: the localCheckpoint form of this path cost 56 sequential
+ *     jobs ≈ 19–23 s warm per 1k batch; the localized form cuts the job
+ *     count to the ~15 cohort fetches.
  *
  * Scale shape is append's: the probe batch is the small side, so its keys
  * broadcast; persisted index stages (rep_map / norm_map / banded /
@@ -81,20 +87,23 @@ final case class ProbeResult(decisions: DataFrame, lowQuality: DataFrame) {
  */
 object Probe {
 
-  /** Shuffle partitions for probe plans. Everything post-filter is
-    * batch-proportional, so this scales with the BATCH size, not the
-    * corpus; 8 keeps a 1k-row batch busy without paying 32+ empty tasks
-    * per shuffle stage. */
-  val ProbePartitions = "8"
+  /** Shuffle partitions for probe plans. Everything that shuffles is
+    * batch-proportional (the corpus is only ever scan-filtered against
+    * broadcast batch keys), so a corpus-sized count just multiplies empty
+    * tasks. Measured on the 1k-batch serving shape: 1 beats 8 (6.5 s vs
+    * 8.0 s median) once the heavy batch-local derivations run inside the
+    * concurrent chains — per-stage task floors dominate intra-job
+    * parallelism at this size. */
+  val ProbePartitions = "1"
 
   /** The persisted index stages, cached for repeated probes, plus the
     * manifest stamps they were loaded under. */
   private final case class Index(
       oldClean: DataFrame, oldGroupReps: DataFrame, oldNormReps: DataFrame,
       normMapAll: DataFrame, banded: DataFrame, bandedSim: DataFrame,
-      suffixKeys: DataFrame, clustersPrev: DataFrame) {
+      suffixJoined: DataFrame, oldProbes: DataFrame, clustersPrev: DataFrame) {
     def frames: Seq[DataFrame] = Seq(oldClean, oldGroupReps, oldNormReps,
-      normMapAll, banded, bandedSim, suffixKeys, clustersPrev)
+      normMapAll, banded, bandedSim, suffixJoined, oldProbes, clustersPrev)
   }
 
   /** Stages whose manifests stamp the context (any mutation path rewrites
@@ -121,7 +130,24 @@ object Probe {
   def open(spark: SparkSession, root: String,
       cfg: DedupConfig = DedupConfig.default): Context = {
     Incremental.ensureIndexes(spark, root, cfg)
+    // serving index reads trade memory for scan latency: every probe
+    // re-scans these frames, so per-scan decompression is a recurring tax
+    // paid on the serving path. The conf is captured per-frame at persist()
+    // registration, so it is set only around the Index construction and
+    // restored before returning — nothing else in the session is affected.
+    val ck = "spark.sql.inMemoryColumnarStorage.compressed"
+    val ckSaved = spark.conf.getOption(ck)
+    spark.conf.set(ck, "false")
     def cached(df: DataFrame): DataFrame = df.persist(StorageLevel.MEMORY_AND_DISK)
+    try { buildIndex(spark, root, cfg, cached) }
+    finally ckSaved match {
+      case Some(v) => spark.conf.set(ck, v)
+      case None => spark.conf.unset(ck)
+    }
+  }
+
+  private def buildIndex(spark: SparkSession, root: String, cfg: DedupConfig,
+      cached: DataFrame => DataFrame): Context = {
     val idx = Index(
       oldClean = cached(Layout.read(spark, root, "features")
         .where(!col("is_low_quality")).drop("batch")),
@@ -136,8 +162,25 @@ object Probe {
         .select("id", "band", "bkey")),
       bandedSim = cached(Layout.read(spark, root, "banded_simhash")
         .select("id", "band", "bkey")),
-      suffixKeys = cached(Layout.read(spark, root, "suffix_keys")
-        .select("b_id", "tier", "k")),
+      // suffix index PRE-JOINED with its reps' caption text: the per-probe
+      // suffix cohort is then a pure broadcast-filter scan instead of a
+      // (suffix_keys ⋈ norm reps) shuffle join per call — the join runs once
+      // here, at load time (the "build the serving index up front" move).
+      // The old-build × new-probe cross terms on b_id are empty by the
+      // unseen-ids contract, so old⋈old via this frame plus local new⋈new
+      // covers the full union join append computes.
+      suffixJoined = cached(Layout.read(spark, root, "suffix_keys")
+        .select("b_id", "tier", "k")
+        .join(Layout.read(spark, root, "norm_map")
+          .where(col("image_id") === col("nrep"))
+          .select(col("nrep").as("b_id"), col("norm").as("b_norm")), Seq("b_id"))
+        .select("b_id", "b_norm", "tier", "k")),
+      // old norm reps' probe entries, precomputed (filter+hash per row is
+      // cheap but pays a full norm_map pass per probe otherwise)
+      oldProbes = cached(SuffixDup.probeEntries(
+        Layout.read(spark, root, "norm_map")
+          .where(col("image_id") === col("nrep"))
+          .select(col("nrep").as("id"), col("norm")), cfg)),
       clustersPrev = cached(Layout.read(spark, root, "clusters")))
     new Context(spark, root, cfg, idx, stamp(root))
   }
@@ -199,131 +242,238 @@ object Probe {
       }
     }
 
+  /** Materialize a batch-proportional frame onto the driver as a
+    * `LocalRelation` (one collect job; zero jobs for every later consumer —
+    * a broadcast of a LocalRelation is a driver-side copy, not a cluster
+    * job). THE serving-latency primitive: probe latency is a JOB-COUNT
+    * floor (measured 56 sequential jobs ≈ 19–23 s warm for a 1k batch —
+    * every broadcast subtree and CC round was its own driver-coordinated
+    * job), so the probe plan is cut at each index-cohort boundary and
+    * everything batch-sized lives on the driver. */
+  // fixed pool for the concurrent candidate chains — 3 outer chains plus
+  // the suffix chain's 2 nested sub-chains (nested futures must never wait
+  // on their own parent's thread). Daemon threads so an idle serving
+  // process never blocks JVM exit.
+  private lazy val probeEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(5,
+        (r: Runnable) => { val t = new Thread(r, "probe-branch"); t.setDaemon(true); t }))
+
+  private def local(spark: SparkSession, df: DataFrame, label: String): DataFrame = {
+    val sc = spark.sparkContext
+    sc.setJobDescription(s"probe:$label")
+    try spark.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+    finally sc.setJobDescription(null)
+  }
+
   private def evaluate(ctx: Context, input: DataFrame): ProbeResult =
     withProbeConf(ctx.spark) {
       val spark = ctx.spark
       val cfg = ctx.cfg
       val root = ctx.root
       val idx = ctx.index
+      import spark.implicits._
+      def L(label: String)(df: DataFrame): DataFrame = local(spark, df, label)
+      // distinct projection of a LOCAL frame, deduplicated on the driver:
+      // collecting a projection over a LocalRelation is free (the optimizer
+      // folds it), the Scala distinct costs no job, and every consumer —
+      // broadcast hints especially — sees a plain LocalRelation instead of
+      // re-running an Aggregate subtree once per consuming query
+      def dl(df: DataFrame): DataFrame = spark.createDataFrame(
+        java.util.Arrays.asList(df.collect().distinct: _*), df.schema)
 
-      // Lazy localCheckpoints stand in for append's stage writes: every
-      // checkpointed frame is batch-proportional, and without the truncation
-      // each consumer (and every CC iteration) re-evaluates the whole
-      // transient candidate pipeline. They materialize inside the eager
-      // decisions checkpoint below — still one pass each.
-      val feats = Dedup.features(input, cfg).localCheckpoint(false)
+      // One decode+fingerprint pass over the batch, then the rows live on
+      // the driver: every frame below that derives ONLY from the batch is a
+      // LocalRelation, and only joins against the cached index stages (each
+      // immediately re-localized — the results are cohort-sized) run as
+      // cluster jobs. Column-level logic is IDENTICAL to append's — the
+      // same expressions over the same shapes, only the physical placement
+      // changes (ProbeSpec's byte-parity contract is the regression net).
+      val feats = L("feats")(Dedup.features(input, cfg))
       val cleanNew = feats.where(!col("is_low_quality"))
-      val lowQ = feats.where(col("is_low_quality"))
+      val lowQ = L("lowQ")(feats.where(col("is_low_quality"))
         .select("image_id", "caption", "issues", "quality_score", "quality_severity")
-        .withColumn("status", lit(graft.qa.Qa.Pending))
+        .withColumn("status", lit(graft.qa.Qa.Pending)))
       val oldClean = idx.oldClean
 
-      // ---- exact / norm groups: transient twins of append steps 2-3 -------
-      val keyCols = Candidates.ExactKeyCols
-      val newKeyed = cleanNew.select((Seq("image_id") ++ keyCols).map(col): _*)
-      val matched = idx.oldGroupReps.join(broadcast(newKeyed), keyCols)
-        .select((Seq("image_id") ++ keyCols :+ "rep").map(col): _*)
-      val unmatched = Candidates.repTag(
-        newKeyed.join(broadcast(matched.select("image_id")), Seq("image_id"), "left_anti"),
-        keyCols, "image_id", "rep")
-      val repNew = matched.unionByName(unmatched).localCheckpoint(false)
+      // ---- candidate generation: three independent index-fetch chains ----
+      // The exact/minhash chain, the phash/simhash chain, and the norm/
+      // suffix chain (append steps 2-5, verbatim) share no data until the
+      // candidate union, so their cohort fetches run CONCURRENTLY (Spark
+      // schedules jobs from any thread; the probe-scoped session conf is
+      // fixed for the whole scope). The serving wall for this section is
+      // the longest chain, not the sum of the three.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.DurationInt
+      implicit val ec: scala.concurrent.ExecutionContext = probeEc
 
-      val newNorms = cleanNew.select("image_id", "norm")
-      val matchedN = idx.oldNormReps.join(broadcast(newNorms), Seq("norm"))
-        .select("image_id", "norm", "nrep")
-      val unmatchedN = Candidates.repTag(
-        newNorms.join(broadcast(matchedN.select("image_id")), Seq("image_id"), "left_anti"),
-        Seq("norm"), "image_id", "nrep")
-      val normNew = matchedN.unionByName(unmatchedN).localCheckpoint(false)
-      val normMapAll = idx.normMapAll.unionByName(normNew)
-
-      // ---- transient index slices for the batch (append step 4, no writes) -
-      val newRepIds = repNew.where(col("image_id") === col("rep")).select("image_id")
-      val bandedNew = Candidates.minhashBanded(
-        cleanNew.join(broadcast(newRepIds), Seq("image_id")), cfg)
-      val bandedAll = idx.banded.unionByName(bandedNew)
-
-      val phNewVals = cleanNew.select("phash").distinct()
-      val phOld = oldClean.select("image_id", "phash")
-      val presentOld = phOld.join(broadcast(phNewVals), Seq("phash"))
-        .select("phash").distinct()
-      val newDistinctPh = phNewVals.join(broadcast(presentOld), Seq("phash"), "left_anti")
-      val newPhReps = cleanNew.select("image_id", "phash")
-        .join(broadcast(newDistinctPh), Seq("phash"))
-        .groupBy("phash").agg(min("image_id").as("id"))
-        .select("id", "phash").localCheckpoint(false)
-      val bandedSimAll = idx.bandedSim
-        .unionByName(Candidates.simhashBanded(newPhReps, cfg))
-
-      val newNormRepRows = normNew.where(col("image_id") === col("nrep"))
-        .select(col("nrep").as("id"), col("norm")).distinct()
-      val suffixKeysAll = idx.suffixKeys
-        .unionByName(SuffixDup.suffixEntries(newNormRepRows).select("b_id", "tier", "k"))
-
-      // ---- candidate pairs touching the batch (append step 5, verbatim) ---
       val newIds = cleanNew.select(col("image_id").as("id"))
+      val keyCols = Candidates.ExactKeyCols
 
-      val exactNew = repNew.where(col("image_id") =!= col("rep"))
-        .select(col("rep").as("src"), col("image_id").as("dst"), lit("exact").as("source"))
+      // exact groups + minhash bands
+      val fExactMh = Future {
+        val newKeyed = cleanNew.select((Seq("image_id") ++ keyCols).map(col): _*)
+        val matched = L("matched")(idx.oldGroupReps.join(broadcast(newKeyed), keyCols)
+          .select((Seq("image_id") ++ keyCols :+ "rep").map(col): _*))
+        val unmatched = Candidates.repTag(
+          newKeyed.join(broadcast(matched.select("image_id")), Seq("image_id"), "left_anti"),
+          keyCols, "image_id", "rep")
+        val repNew = L("repNew")(matched.unionByName(unmatched))
+        val newRepIds = repNew.where(col("image_id") === col("rep")).select("image_id")
+        val bandedNew = L("bandedNew")(Candidates.minhashBanded(
+          cleanNew.join(broadcast(newRepIds), Seq("image_id")), cfg))
+        val affectedBands = dl(bandedNew.select("band", "bkey"))
+        val bandCohort = L("bandCohort")(idx.banded.unionByName(bandedNew)
+          .join(broadcast(affectedBands), Seq("band", "bkey")))
+        val exactNew = repNew.where(col("image_id") =!= col("rep"))
+          .select(col("rep").as("src"), col("image_id").as("dst"), lit("exact").as("source"))
+        // localize the salted self-join INSIDE the chain: lazy, its compute
+        // would bill the sequential candsNew union instead of overlapping
+        // with the other chains
+        val mhNew = L("mhNew")(Incremental.pairsTouching(
+          Candidates.saltedSelfJoin(bandCohort, cfg.bucketSizeCap), newIds)
+          .withColumn("source", lit("minhash")))
+        (exactNew, mhNew)
+      }
 
-      val affectedBands = bandedNew.select("band", "bkey").distinct()
-      val bandCohort = bandedAll
-        .join(broadcast(affectedBands), Seq("band", "bkey"))
-      val mhNew = Incremental.pairsTouching(
-        Candidates.saltedSelfJoin(bandCohort, cfg.bucketSizeCap), newIds)
-        .withColumn("source", lit("minhash"))
+      // phash groups + simhash bands
+      val fSim = Future {
+        val phNewVals = dl(cleanNew.select("phash"))
+        val phOld = oldClean.select("image_id", "phash")
+        // one cluster fetch serves both: old members of touched phashes
+        // (for prepPh) and the present-in-corpus phash set
+        val phOldCohort = L("phOldCohort")(phOld.join(broadcast(phNewVals), Seq("phash")))
+        val presentOld = dl(phOldCohort.select("phash"))
+        val newDistinctPh = phNewVals.join(broadcast(presentOld), Seq("phash"), "left_anti")
+        val newPhReps = L("newPhReps")(cleanNew.select("image_id", "phash")
+          .join(broadcast(newDistinctPh), Seq("phash"))
+          .groupBy("phash").agg(min("image_id").as("id"))
+          .select("id", "phash"))
+        // prepPh over the touched phashes only: old members of a touched
+        // phash are exactly phOldCohort - min over old and new per phash
+        val phAll = phOldCohort.unionByName(cleanNew.select("image_id", "phash"))
+        val prepPh = phAll.join(broadcast(phNewVals), Seq("phash"))
+          .groupBy("phash").agg(min("image_id").as("prep"))
+        val samePhashNew = cleanNew.select("image_id", "phash")
+          .join(broadcast(prepPh), Seq("phash"))
+          .where(col("image_id") =!= col("prep"))
+          .select(col("prep").as("src"), col("image_id").as("dst"))
+        val simBandedNew = L("simBandedNew")(Candidates.simhashBanded(newPhReps, cfg))
+        val affectedCombos = dl(simBandedNew.select("band", "bkey"))
+        val simCohort = L("simCohort")(idx.bandedSim.unionByName(simBandedNew)
+          .join(broadcast(affectedCombos), Seq("band", "bkey")))
+        val simBandNew = Incremental.pairsTouching(
+          Candidates.saltedSelfJoin(simCohort, cfg.bucketSizeCap),
+          newPhReps.select("id"))
+        L("simNew")(samePhashNew.unionByName(simBandNew)
+          .withColumn("source", lit("simhash")))
+      }
 
-      val phAll = phOld.unionByName(cleanNew.select("image_id", "phash"))
-      val prepPh = phAll.join(broadcast(phNewVals), Seq("phash"))
-        .groupBy("phash").agg(min("image_id").as("prep"))
-      val samePhashNew = cleanNew.select("image_id", "phash")
-        .join(broadcast(prepPh), Seq("phash"))
-        .where(col("image_id") =!= col("prep"))
-        .select(col("prep").as("src"), col("image_id").as("dst"))
-      val affectedCombos = Candidates.simhashBanded(newPhReps, cfg)
-        .select("band", "bkey").distinct()
-      val simCohort = bandedSimAll
-        .join(broadcast(affectedCombos), Seq("band", "bkey"))
-      val simBandNew = Incremental.pairsTouching(
-        Candidates.saltedSelfJoin(simCohort, cfg.bucketSizeCap),
-        newPhReps.select("id"))
-      val simNew = samePhashNew.unionByName(simBandNew).withColumn("source", lit("simhash"))
+      // norm groups + suffix pass
+      val fSub = Future {
+        val newNorms = cleanNew.select("image_id", "norm")
+        val matchedN = L("matchedN")(idx.oldNormReps.join(broadcast(newNorms), Seq("norm"))
+          .select("image_id", "norm", "nrep"))
+        val unmatchedN = Candidates.repTag(
+          newNorms.join(broadcast(matchedN.select("image_id")), Seq("image_id"), "left_anti"),
+          Seq("norm"), "image_id", "nrep")
+        val normNew = L("normNew")(matchedN.unionByName(unmatchedN))
+        val touchedNorms = dl(cleanNew.select("norm"))
+        val normNewReps = normNew.where(col("image_id") === col("nrep"))
+        val nrepsOld = idx.normMapAll.where(col("image_id") === col("nrep"))
+        val nrepsAll = nrepsOld.unionByName(normNewReps)
+        val touchedReps = L("touchedReps")(nrepsAll.join(broadcast(touchedNorms), Seq("norm"))
+          .select(col("nrep").as("id"), col("norm")))
+        // the new-probes-vs-old-builds chain (r1) and the old-probes-vs-
+        // new-builds chain (r2) share only touchedReps/nrepsAll (both
+        // already resolved here) — their cohort fetches overlap
+        val fR1 = Future {
+          val probesNew = SuffixDup.probeEntries(touchedReps, cfg)
+          val probeTierK = dl(probesNew.select("tier", "k"))
+          val newNormRepRows = normNewReps
+            .select(col("nrep").as("id"), col("norm")).distinct()
+          // old builds: pre-joined serving index, broadcast-filter scan only
+          // (the shuffle join to attach b_norm already ran at open());
+          // new builds: local explode, joined locally. Cross terms on b_id
+          // are empty — probe ids are unseen.
+          val suffixCohortOld = L("suffixCohort")(idx.suffixJoined
+            .join(broadcast(probeTierK), Seq("tier", "k"))
+            .select("b_id", "b_norm", "tier", "k"))
+          val suffixCohortNew = SuffixDup.suffixEntries(newNormRepRows)
+            .join(probeTierK, Seq("tier", "k"))
+            .select("b_id", "b_norm", "tier", "k")
+          // localized here so the explode+contains verify overlaps the
+          // other chains instead of billing the sequential relations step
+          L("r1")(SuffixDup.verifyJoin(probesNew,
+            suffixCohortOld.unionByName(suffixCohortNew), cfg))
+        }
+        val fR2 = Future {
+          // suffixEntries is the HOF+explode-heaviest local derivation and
+          // has two consumers - materialize once
+          val buildsNew = L("buildsNew")(SuffixDup.suffixEntries(touchedReps))
+          val buildTierK = dl(buildsNew.select("tier", "k"))
+          // old probes precomputed at open(); new reps' probes are local
+          val probeCohort = L("probeCohort")(idx.oldProbes
+            .join(broadcast(buildTierK), Seq("tier", "k"))
+            .unionByName(SuffixDup.probeEntries(
+                normNewReps.select(col("nrep").as("id"), col("norm")), cfg)
+              .join(buildTierK, Seq("tier", "k"))))
+          L("r2")(SuffixDup.verifyJoin(probeCohort, buildsNew, cfg))
+        }
+        val r1 = Await.result(fR1, 10.minutes)
+        val r2 = Await.result(fR2, 10.minutes)
+        // r1/r2 are local — union + distinct on the driver, zero jobs
+        val relRows = (r1.collect() ++ r2.collect()).distinct
+        val relations = spark.createDataFrame(
+          java.util.Arrays.asList(relRows.toSeq: _*), r1.schema)
+        val involvedReps = relRows.iterator
+          .flatMap(r => Iterator(r.getString(0), r.getString(1)))
+          .toSeq.distinct.toDF("nrep")
+        val normCohort = L("normCohort")(idx.normMapAll.unionByName(normNew)
+          .join(broadcast(involvedReps), Seq("nrep"))
+          .select("image_id", "norm", "nrep"))
+        L("subNew")(Incremental.pairsTouching(
+          Candidates.expandSubstringPairs(relations, normCohort)
+            .select("src", "dst"), newIds)
+          .withColumn("source", lit("substring")))
+      }
 
-      val touchedNorms = cleanNew.select("norm").distinct()
-      val nrepsAll = normMapAll.where(col("image_id") === col("nrep"))
-      val touchedReps = nrepsAll.join(broadcast(touchedNorms), Seq("norm"))
-        .select(col("nrep").as("id"), col("norm"))
-      val probesNew = SuffixDup.probeEntries(touchedReps, cfg)
-      // no broadcast hint on the index slice: a hot shared prefix can pull a
-      // corpus-scale slice (same reasoning as Incremental's skCohort)
-      val skCohort = suffixKeysAll
-        .join(broadcast(probesNew.select("tier", "k").distinct()), Seq("tier", "k"))
-      val suffixCohort = nrepsAll
-        .select(col("nrep").as("b_id"), col("norm").as("b_norm"))
-        .join(skCohort, Seq("b_id"))
-      val r1 = SuffixDup.verifyJoin(probesNew, suffixCohort, cfg)
-      val buildsNew = SuffixDup.suffixEntries(touchedReps)
-      val probeCohort = SuffixDup.probeEntries(
-          nrepsAll.select(col("nrep").as("id"), col("norm")), cfg)
-        .join(broadcast(buildsNew.select("tier", "k").distinct()), Seq("tier", "k"))
-      val r2 = SuffixDup.verifyJoin(probeCohort, buildsNew, cfg)
-      val relations = r1.union(r2).distinct()
-      val involvedReps = relations.select(col("src").as("nrep"))
-        .union(relations.select(col("dst").as("nrep"))).distinct()
-      val normCohort = normMapAll.join(broadcast(involvedReps), Seq("nrep"))
-        .select("image_id", "norm", "nrep")
-      val subNew = Incremental.pairsTouching(
-        Candidates.expandSubstringPairs(relations, normCohort)
-          .select("src", "dst"), newIds)
-        .withColumn("source", lit("substring"))
+      val (exactNew, mhNew) = Await.result(fExactMh, 10.minutes)
+      val simNew = Await.result(fSim, 10.minutes)
+      val subNew = Await.result(fSub, 10.minutes)
 
-      val candsNew = exactNew.unionByName(mhNew.select("src", "dst", "source"))
-        .unionByName(simNew.select("src", "dst", "source"))
-        .unionByName(subNew.select("src", "dst", "source"))
+      // driver-side union of four LocalRelations (a Union node doesn't fold,
+      // so the DataFrame form would pay a job; the heavy pair compute already
+      // ran inside the concurrent chains above)
+      val sel = Seq("src", "dst", "source")
+      val candRows = Seq(exactNew, mhNew, simNew, subNew)
+        .flatMap(_.select(sel.map(col): _*).collect())
+      val candsNew = spark.createDataFrame(
+        java.util.Arrays.asList(candRows: _*),
+        org.apache.spark.sql.types.StructType(sel.map(
+          org.apache.spark.sql.types.StructField(_,
+            org.apache.spark.sql.types.StringType, nullable = true))))
 
       // ---- verify (append step 6) ------------------------------------------
-      val cleanAll = oldClean.unionByName(cleanNew)
-      val verifiedNew = PairVerifier.verify(candsNew, cleanAll, cfg).localCheckpoint(false)
+      // hydration slice: verify inner-joins features on pair endpoints, so
+      // only candidate-involved OLD rows are fetched (new rows are local).
+      // Endpoint set built on the driver — candsNew is local.
+      val newIdSeq = newIds.collect().map(_.getString(0)).toSeq
+      val newIdSet = newIdSeq.toSet
+      val candOldIds = candRows.iterator
+        .flatMap(r => Iterator(r.getString(0), r.getString(1)))
+        .filterNot(newIdSet).toSeq.distinct.toDF("image_id")
+      // prefetch cluster labels for every OLD candidate endpoint (a superset
+      // of the verified edges' sources) concurrently with verification —
+      // removes the sequential label-lookup step after verify
+      val fLab = Future {
+        L("labPrefetch")(idx.clustersPrev
+          .join(broadcast(candOldIds), Seq("image_id"))
+          .select("image_id", "cluster_id"))
+      }
+      val oldSlice = L("oldSlice")(oldClean.join(broadcast(candOldIds), Seq("image_id")))
+      val verifiedNew = L("verifiedNew")(PairVerifier.verify(
+        candsNew, oldSlice.unionByName(cleanNew), cfg))
 
       // ---- would-be global state over the touched components only ----------
       // Always the quotient path: probe edges point old→new (unseen ids sort
@@ -332,37 +482,44 @@ object Probe {
       // composes with the new edges by min-label propagation; a force-split
       // among OLD rows is already materialized in clustersPrev, and no
       // override can name an unseen id. Promote rep-overrides re-anchor the
-      // touched components' labels after the CC rounds (Qa.anchorQuotient).
+      // touched components' labels after the CC (Qa.anchorQuotient). The
+      // quotient graph is batch-proportional BY CONSTRUCTION, so its CC is
+      // a driver-side union-find (ConnectedComponents.runLocal) — zero jobs
+      // instead of per-round join+agg+hash-sum jobs.
       val clustersPrev = idx.clustersPrev
       val newEdges = verifiedNew.where(col("is_edge"))
         .select("src", "dst", "match_score")
-      val srcLab = clustersPrev
-        .join(broadcast(newEdges.select(col("src")).distinct()),
-          col("image_id") === col("src"))
-        .select(col("src").as("qsrc"), col("cluster_id").as("qlab"))
-      val qEdges = newEdges
-        .join(broadcast(srcLab), col("src") === col("qsrc"), "left")
-        .select(coalesce(col("qlab"), col("src")).as("src"), col("dst"),
-          col("match_score"))
-      val qLabels = graft.qa.Qa.anchorQuotient(spark, root,
-        ConnectedComponents.run(
-          newIds.select(col("id"))
-            .unionByName(qEdges.select(col("src").as("id"))).distinct(),
-          qEdges, cfg.maxCcIterations, cfg.ccPointerJump),
-        clustersPrev).localCheckpoint(false)
-      val remap = qLabels
-        .join(broadcast(newIds), Seq("id"), "left_anti")
-        .where(col("id") =!= col("cluster_id"))
-        .select(col("id").as("__from"), col("cluster_id").as("__to"))
-      val newAssign = qLabels.join(broadcast(newIds), Seq("id"))
-        .select(col("id").as("image_id"), col("cluster_id"))
+      // edge sources ⊆ candidate endpoints, so the prefetched label map
+      // covers them; a source absent from it is a new id (its own label)
+      val labMap = Await.result(fLab, 10.minutes).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      val edgeSeq = newEdges.select("src", "dst").collect()
+        .map(r => (labMap.getOrElse(r.getString(0), r.getString(0)), r.getString(1)))
+        .toSeq
+      val labels = ConnectedComponents.runLocal(newIdSeq, edgeSeq)
+      // anchorQuotient is identity without promote overrides (L of a
+      // LocalRelation is a free driver copy); with promotes its two
+      // clustersPrev joins run once, localized here
+      val qLabels = L("qLabels")(graft.qa.Qa.anchorQuotient(spark, root,
+        labels.toSeq.toDF("id", "cluster_id"), clustersPrev))
+      // label-derived small sets built on the driver (collect of a
+      // LocalRelation is free; the DataFrame anti-join/distinct forms would
+      // each re-plan per consumer)
+      val qRows = qLabels.collect().map(r => r.getString(0) -> r.getString(1))
+      val remap = qRows.toSeq
+        .filter { case (id, lab) => !newIdSet.contains(id) && id != lab }
+        .toDF("__from", "__to")
+      val newAssign = qRows.toSeq.filter(kv => newIdSet.contains(kv._1))
+        .toDF("image_id", "cluster_id")
 
       // Recurring status needs member counts only for clusters a probed row
       // lands in (decisions join recurring on the NEW rows' labels): count the
       // touched clusters' previous members — a broadcast-filtered scan, never
       // a corpus shuffle — plus the batch's own assignments. Counts equal the
       // full-table counts append computes, restricted to the touched labels.
-      val touchedLabels = qLabels.select("cluster_id").distinct()
+      val touchedLabels = qRows.map(_._2).distinct.toSeq.toDF("cluster_id")
+      // single consumer (the decis job) — left lazy so the clustersPrev scan
+      // fuses into decis' evaluation instead of paying its own job
       val prevTouched = clustersPrev
         .join(broadcast(remap), col("cluster_id") === col("__from"), "left")
         .withColumn("cluster_id", coalesce(col("__to"), col("cluster_id")))
@@ -370,10 +527,11 @@ object Probe {
         .select("image_id", "cluster_id")
       val recurTouched = Dedup.recurring(prevTouched.unionByName(newAssign), cfg)
 
-      val decis = Dedup.decisionsEnriched(cleanNew, verifiedNew, newAssign,
-        recurTouched, cfg)
-      // EAGER: the serving answer is computed here, inside the probe-scoped
-      // conf, in one materialization pass (plus the CC rounds above)
-      ProbeResult(decis.localCheckpoint(true), lowQ.localCheckpoint(true))
+      // the serving answer is a LocalRelation: computed HERE, inside the
+      // probe-scoped conf, immune to later session-conf changes, and free
+      // for the caller to re-consume (outcomes costs no cluster work)
+      val decis = L("decis")(Dedup.decisionsEnriched(cleanNew, verifiedNew, newAssign,
+        recurTouched, cfg))
+      ProbeResult(decis, lowQ)
     }
 }

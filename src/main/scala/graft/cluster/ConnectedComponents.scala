@@ -108,4 +108,31 @@ object ConnectedComponents {
     vertices.join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("cluster_id"))
   }
+
+  /**
+   * Driver-side twin of `run` for edge sets that already live on the driver
+   * — the serving path's quotient graph is batch-proportional by
+   * construction, so its CC never needs a cluster: a union-find here
+   * replaces the per-round Spark jobs (join + agg + checkpoint + hash-sum)
+   * with zero jobs. Union-by-min keeps the invariant shared with `run`:
+   * every component's label is its minimum member id. CcSpec pins
+   * runLocal == run on random graphs.
+   */
+  def runLocal(vertices: Seq[String],
+      edges: Seq[(String, String)]): Map[String, String] = {
+    val parent = scala.collection.mutable.HashMap.empty[String, String]
+    def find(x: String): String = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    (vertices.iterator ++ edges.iterator.flatMap(e => Iterator(e._1, e._2)))
+      .map(v => v -> find(v)).toMap
+  }
 }

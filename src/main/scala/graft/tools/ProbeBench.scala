@@ -83,7 +83,39 @@ object ProbeBench {
     }
     val median = secs.sorted.apply(secs.size / 2)
     val all = secs.map(s => f"$s%.2f").mkString("[", ",", "]")
-    println(f"""{"corpus_rows":$nCorpus,"probe_rows":$probeN,"bootstrap_sec":$bootSec%.1f,"probe_sec":$median%.2f,"probe_cold_sec":$coldSec%.2f,"probe_sec_all":$all,"probe_rows_per_sec":${probeN / median}%.1f,"cores":$cpus,"load_start":$loadStart%.2f,"load_end":$loadavg1%.2f}""")
+    // job accounting on one extra warm probe: serving latency at batch
+    // sizes is a JOB-COUNT floor (every broadcast collect + CC round is a
+    // sequential driver-coordinated job), so the count is the number to
+    // engineer against
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val jobNanos = new java.util.concurrent.atomic.AtomicLong
+    val probeT0 = new java.util.concurrent.atomic.AtomicLong
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        val desc = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .orElse(Option(j.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short"))))
+          .getOrElse("?")
+        starts.put(j.jobId, (System.nanoTime(), desc)); ()
+      }
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        Option(starts.remove(j.jobId)).foreach { case (t0, desc) =>
+          val sec = (System.nanoTime() - t0) / 1e9
+          jobNanos.addAndGet(System.nanoTime() - t0)
+          val rel0 = (t0 - probeT0.get()) / 1e9
+          println(f"[probe-job] start=$rel0%7.3f dur=$sec%6.3f  $desc")
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    probeT0.set(System.nanoTime())
+    val (_, jobSec) = time(
+      graft.Probe.run(spark, root, batch, DedupConfig.default).outcomes.count())
+    spark.sparkContext.removeSparkListener(listener)
+    println(f"""{"corpus_rows":$nCorpus,"probe_rows":$probeN,"bootstrap_sec":$bootSec%.1f,"probe_sec":$median%.2f,"probe_cold_sec":$coldSec%.2f,"probe_sec_all":$all,"probe_rows_per_sec":${probeN / median}%.1f,"probe_jobs":${jobs.get},"probe_jobs_sec":${jobNanos.get / 1e9}%.2f,"probe_jobs_wall_sec":$jobSec%.2f,"cores":$cpus,"load_start":$loadStart%.2f,"load_end":$loadavg1%.2f}""")
     try spark.stop() catch { case _: Throwable => }
     graft.util.Disk.rm(localDir)
     sys.exit(0)

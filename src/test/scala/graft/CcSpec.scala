@@ -46,6 +46,27 @@ class CcSpec extends AnyFunSuite with ParallelTestExecution {
     assert(e.getMessage.contains("fixpoint"))
   }
 
+  test("runLocal (driver union-find, the serving path's CC) == run on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 30 + trial * 10
+      val ids = (0 until n).map(i => f"v-$i%04d")
+      val edgeSeq = (0 until n).map { _ =>
+        val a = ids(rnd.nextInt(n)); val b = ids(rnd.nextInt(n))
+        if (a < b) (a, b) else (b, a)
+      }.filter(e => e._1 != e._2).distinct
+      val distributed = ConnectedComponents.run(
+        ids.toDF("id"), edgeSeq.toDF("src", "dst"), maxIter = 100)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val local = ConnectedComponents.runLocal(ids, edgeSeq)
+      // runLocal labels every vertex it saw; vertices absent from edges are
+      // their own singleton in both
+      assert(ids.forall(v => local.getOrElse(v, v) == distributed(v)),
+        s"trial $trial diverged")
+    }
+  }
+
   test("pointer jumping is a no-op on star-shaped dedup graphs (same labels, same fixpoint)") {
     import spark.implicits._
     // two stars + a bridge, the generator shape: reps v-0000 and v-0100
