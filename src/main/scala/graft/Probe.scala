@@ -281,6 +281,22 @@ object Probe {
       // re-running an Aggregate subtree once per consuming query
       def dl(df: DataFrame): DataFrame = spark.createDataFrame(
         java.util.Arrays.asList(df.collect().distinct: _*), df.schema)
+      // Literal-IN prefilter under a cohort join: probing a corpus-wide
+      // cached scan through a broadcast-hash join measured ~3x the cost of
+      // a codegen'd InSet filter over the same rows (1.2 s vs 0.45 s on the
+      // 6.4M-row simhash index) — so each cohort fetch filters the scan
+      // with the touched keys as literals FIRST, and the exact equi-join
+      // runs over the near-cohort-sized survivors. Collect of a dl frame
+      // is free (LocalRelation). CAPPED: analyzer cost over an In's child
+      // list is superlinear (a 5k-row batch's ~80k band keys drove one
+      // probe rep to 155 s of pure driver planning), so past the cap the
+      // plain broadcast join — whose cost is flat in key count — stands
+      // alone. Serving batches are interactive-sized; the cap covers them.
+      val inFilterKeyCap = 32 * 1024
+      def prefiltered(scan: DataFrame, c: String, local: DataFrame): DataFrame = {
+        val ks = local.select(c).collect().map(_.get(0)).distinct.toSeq
+        if (ks.sizeIs <= inFilterKeyCap) scan.where(col(c).isin(ks: _*)) else scan
+      }
 
       // One decode+fingerprint pass over the batch, then the rows live on
       // the driver: every frame below that derives ONLY from the batch is a
@@ -323,7 +339,8 @@ object Probe {
         val bandedNew = L("bandedNew")(Candidates.minhashBanded(
           cleanNew.join(broadcast(newRepIds), Seq("image_id")), cfg))
         val affectedBands = dl(bandedNew.select("band", "bkey"))
-        val bandCohort = L("bandCohort")(idx.banded.unionByName(bandedNew)
+        val bandCohort = L("bandCohort")(
+          prefiltered(idx.banded.unionByName(bandedNew), "bkey", affectedBands)
           .join(broadcast(affectedBands), Seq("band", "bkey")))
         val exactNew = repNew.where(col("image_id") =!= col("rep"))
           .select(col("rep").as("src"), col("image_id").as("dst"), lit("exact").as("source"))
@@ -360,7 +377,8 @@ object Probe {
           .select(col("prep").as("src"), col("image_id").as("dst"))
         val simBandedNew = L("simBandedNew")(Candidates.simhashBanded(newPhReps, cfg))
         val affectedCombos = dl(simBandedNew.select("band", "bkey"))
-        val simCohort = L("simCohort")(idx.bandedSim.unionByName(simBandedNew)
+        val simCohort = L("simCohort")(
+          prefiltered(idx.bandedSim.unionByName(simBandedNew), "bkey", affectedCombos)
           .join(broadcast(affectedCombos), Seq("band", "bkey")))
         val simBandNew = Incremental.pairsTouching(
           Candidates.saltedSelfJoin(simCohort, cfg.bucketSizeCap),
@@ -395,10 +413,14 @@ object Probe {
           // old builds: pre-joined serving index, broadcast-filter scan only
           // (the shuffle join to attach b_norm already ran at open());
           // new builds: local explode, joined locally. Cross terms on b_id
-          // are empty — probe ids are unseen.
-          val suffixCohortOld = L("suffixCohort")(idx.suffixJoined
+          // are empty — probe ids are unseen. Left LAZY on purpose: the
+          // cohort has one consumer (the verify below), and localizing it
+          // would collapse the contains-verify onto a single-partition
+          // LocalRelation — lazy, the verify runs over the cached frame's
+          // 32 partitions inside r1's one job.
+          val suffixCohortOld = prefiltered(idx.suffixJoined, "k", probeTierK)
             .join(broadcast(probeTierK), Seq("tier", "k"))
-            .select("b_id", "b_norm", "tier", "k"))
+            .select("b_id", "b_norm", "tier", "k")
           val suffixCohortNew = SuffixDup.suffixEntries(newNormRepRows)
             .join(probeTierK, Seq("tier", "k"))
             .select("b_id", "b_norm", "tier", "k")
@@ -412,12 +434,14 @@ object Probe {
           // has two consumers - materialize once
           val buildsNew = L("buildsNew")(SuffixDup.suffixEntries(touchedReps))
           val buildTierK = dl(buildsNew.select("tier", "k"))
-          // old probes precomputed at open(); new reps' probes are local
-          val probeCohort = L("probeCohort")(idx.oldProbes
+          // old probes precomputed at open(); new reps' probes are local.
+          // Lazy for the same reason as suffixCohortOld: one consumer, and
+          // the verify parallelism comes from the cached scan's partitions.
+          val probeCohort = prefiltered(idx.oldProbes, "k", buildTierK)
             .join(broadcast(buildTierK), Seq("tier", "k"))
             .unionByName(SuffixDup.probeEntries(
                 normNewReps.select(col("nrep").as("id"), col("norm")), cfg)
-              .join(buildTierK, Seq("tier", "k"))))
+              .join(buildTierK, Seq("tier", "k")))
           L("r2")(SuffixDup.verifyJoin(probeCohort, buildsNew, cfg))
         }
         val r1 = Await.result(fR1, 10.minutes)

@@ -99,7 +99,8 @@ object ProbeBench {
           .orElse(Option(j.properties)
             .flatMap(p => Option(p.getProperty("callSite.short"))))
           .getOrElse("?")
-        starts.put(j.jobId, (System.nanoTime(), desc)); ()
+        starts.put(j.jobId, (System.nanoTime(), desc))
+        println(s"[probe-jobmap] job=${j.jobId} stages=${j.stageIds.mkString(",")} $desc")
       }
       override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
         Option(starts.remove(j.jobId)).foreach { case (t0, desc) =>
@@ -108,6 +109,14 @@ object ProbeBench {
           val rel0 = (t0 - probeT0.get()) / 1e9
           println(f"[probe-job] start=$rel0%7.3f dur=$sec%6.3f  $desc")
         }
+      }
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val i = s.stageInfo
+        val dur = (for (a <- i.completionTime; b <- i.submissionTime) yield (a - b) / 1e3)
+          .getOrElse(-1.0)
+        if (dur > 0.25)
+          println(f"[probe-stage] id=${i.stageId}%3d dur=$dur%6.3f tasks=${i.numTasks}%3d ${i.name.take(60)}")
       }
     }
     spark.sparkContext.addSparkListener(listener)
