@@ -267,6 +267,12 @@ object Documents {
     val e = t(spark, dir, "embeddings")
       .select(col("vec_id"), vecD(col("embedding")).as("v"))
       .withColumn("nrm", l2(col("v")))
+    // hard guard, not just a doc comment: a future sf bump must fail loudly
+    // here instead of silently going quadratic in the correctness run
+    val n = e.count()
+    require(n <= 100000,
+      s"q25 is the exact O(n^2) oracle twin (driver scale only); got $n " +
+        "embedding rows — use Engine.annLshTopk/annIvfTopk at scale")
     e.as("a").crossJoin(e.as("b"))
       .where(col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),

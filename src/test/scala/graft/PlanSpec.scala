@@ -64,14 +64,30 @@ class PlanSpec extends AnyFunSuite {
     // and carries the singleton filter (m >= 2) that keeps one-row buckets
     // out of the grid shuffle.
     import spark.implicits._
+    // repartition: a bare toDF Seq is a LocalRelation, which takes the
+    // serving path's driver-side size map (pinned separately below) — the
+    // DISTRIBUTED plan shape is what this test exists to pin
     val banded = (0 until 1000).map(i => (f"id$i%04d", i % 3, (i % 7).toLong))
-      .toDF("id", "band", "bkey")
+      .toDF("id", "band", "bkey").repartition(4)
     val p = plan(Candidates.saltedSelfJoin(banded, 8))
     assert(!p.contains("Window"), s"no window in the salted join:\n${p.take(1200)}")
     assert(p.contains(">= 2"), s"singleton buckets must be filtered pre-grid:\n${p.take(1200)}")
 
     val q21 = plan(graft.queries.Documents.q21NgramJaccard(spark, dir))
     assert(!q21.contains("Window"), "no df count window in q21")
+
+    // serving fast path: a LOCAL cohort's size map is computed on the
+    // driver (zero jobs) — same pair multiset as the distributed shape
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(banded.collect(): _*), banded.schema)
+    val localPairs = Candidates.saltedSelfJoin(local, 8)
+      .select("src", "dst").collect().map(r => (r.getString(0), r.getString(1)))
+      .sorted.toSeq
+    val distPairs = Candidates.saltedSelfJoin(banded, 8)
+      .select("src", "dst").collect().map(r => (r.getString(0), r.getString(1)))
+      .sorted.toSeq
+    assert(localPairs == distPairs,
+      s"local fast-path pair set diverged: ${localPairs.size} vs ${distPairs.size}")
   }
 
   test("rep maps are window-free (hot group co-location safety)") {
