@@ -359,7 +359,8 @@ object Probe {
         val phOld = oldClean.select("image_id", "phash")
         // one cluster fetch serves both: old members of touched phashes
         // (for prepPh) and the present-in-corpus phash set
-        val phOldCohort = L("phOldCohort")(phOld.join(broadcast(phNewVals), Seq("phash")))
+        val phOldCohort = L("phOldCohort")(
+          prefiltered(phOld, "phash", phNewVals).join(broadcast(phNewVals), Seq("phash")))
         val presentOld = dl(phOldCohort.select("phash"))
         val newDistinctPh = phNewVals.join(broadcast(presentOld), Seq("phash"), "left_anti")
         val newPhReps = L("newPhReps")(cleanNew.select("image_id", "phash")
@@ -491,11 +492,12 @@ object Probe {
       // of the verified edges' sources) concurrently with verification —
       // removes the sequential label-lookup step after verify
       val fLab = Future {
-        L("labPrefetch")(idx.clustersPrev
+        L("labPrefetch")(prefiltered(idx.clustersPrev, "image_id", candOldIds)
           .join(broadcast(candOldIds), Seq("image_id"))
           .select("image_id", "cluster_id"))
       }
-      val oldSlice = L("oldSlice")(oldClean.join(broadcast(candOldIds), Seq("image_id")))
+      val oldSlice = L("oldSlice")(prefiltered(oldClean, "image_id", candOldIds)
+        .join(broadcast(candOldIds), Seq("image_id")))
       val verifiedNew = L("verifiedNew")(PairVerifier.verify(
         candsNew, oldSlice.unionByName(cleanNew), cfg))
 
@@ -542,9 +544,15 @@ object Probe {
       // a corpus shuffle — plus the batch's own assignments. Counts equal the
       // full-table counts append computes, restricted to the touched labels.
       val touchedLabels = qRows.map(_._2).distinct.toSeq.toDF("cluster_id")
+      // a member row survives iff its (possibly remapped) label is touched,
+      // so stored-label ∈ touchedLabels ∪ remap-sources is a superset
+      // prefilter for the scan
+      val labelKeys = (qRows.map(_._2) ++
+        qRows.collect { case (id, lab) if !newIdSet.contains(id) && id != lab => id })
+        .distinct.toSeq.toDF("cluster_id")
       // single consumer (the decis job) — left lazy so the clustersPrev scan
       // fuses into decis' evaluation instead of paying its own job
-      val prevTouched = clustersPrev
+      val prevTouched = prefiltered(clustersPrev, "cluster_id", labelKeys)
         .join(broadcast(remap), col("cluster_id") === col("__from"), "left")
         .withColumn("cluster_id", coalesce(col("__to"), col("cluster_id")))
         .join(broadcast(touchedLabels), Seq("cluster_id"))
