@@ -329,6 +329,10 @@ object Probe {
       // exact groups + minhash bands
       val fExactMh = Future {
         val newKeyed = cleanNew.select((Seq("image_id") ++ keyCols).map(col): _*)
+        // matched needs its own job: repNew consumes it twice AND the rep
+        // cohort join below keys on multiple columns (no single-column
+        // literal prefilter applies) — lazy would re-probe the full group
+        // index per consumer
         val matched = L("matched")(idx.oldGroupReps.join(broadcast(newKeyed), keyCols)
           .select((Seq("image_id") ++ keyCols :+ "rep").map(col): _*))
         val unmatched = Candidates.repTag(
@@ -391,7 +395,9 @@ object Probe {
       // norm groups + suffix pass
       val fSub = Future {
         val newNorms = cleanNew.select("image_id", "norm")
-        val matchedN = L("matchedN")(idx.oldNormReps.join(broadcast(newNorms), Seq("norm"))
+        val matchedN = L("matchedN")(
+          prefiltered(idx.oldNormReps, "norm", newNorms)
+          .join(broadcast(newNorms), Seq("norm"))
           .select("image_id", "norm", "nrep"))
         val unmatchedN = Candidates.repTag(
           newNorms.join(broadcast(matchedN.select("image_id")), Seq("image_id"), "left_anti"),
@@ -401,7 +407,9 @@ object Probe {
         val normNewReps = normNew.where(col("image_id") === col("nrep"))
         val nrepsOld = idx.normMapAll.where(col("image_id") === col("nrep"))
         val nrepsAll = nrepsOld.unionByName(normNewReps)
-        val touchedReps = L("touchedReps")(nrepsAll.join(broadcast(touchedNorms), Seq("norm"))
+        val touchedReps = L("touchedReps")(
+          prefiltered(nrepsAll, "norm", touchedNorms)
+          .join(broadcast(touchedNorms), Seq("norm"))
           .select(col("nrep").as("id"), col("norm")))
         // the new-probes-vs-old-builds chain (r1) and the old-probes-vs-
         // new-builds chain (r2) share only touchedReps/nrepsAll (both
@@ -454,7 +462,8 @@ object Probe {
         val involvedReps = relRows.iterator
           .flatMap(r => Iterator(r.getString(0), r.getString(1)))
           .toSeq.distinct.toDF("nrep")
-        val normCohort = L("normCohort")(idx.normMapAll.unionByName(normNew)
+        val normCohort = L("normCohort")(
+          prefiltered(idx.normMapAll.unionByName(normNew), "nrep", involvedReps)
           .join(broadcast(involvedReps), Seq("nrep"))
           .select("image_id", "norm", "nrep"))
         L("subNew")(Incremental.pairsTouching(
