@@ -222,7 +222,7 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val edges = verified.where(col("is_edge")).select("src", "dst", "match_score")
 
-    val clusters = ConnectedComponents.run(
+    val clusters = ConnectedComponents.runAdaptive(
       clean.select(col("image_id").as("id")), edges, cfg.maxCcIterations,
         cfg.ccPointerJump)
       .select(col("id").as("image_id"), col("cluster_id"))
@@ -280,7 +280,7 @@ object Dedup {
     // claim overrides added since are reflected (Probe keys off the stamp)
     val clustersWereComplete = Layout.isComplete(root, "clusters")
     val clusters = Layout.runStage(spark, root, "clusters")(
-      graft.qa.Qa.applyPromotes(spark, root, ConnectedComponents.run(
+      graft.qa.Qa.applyPromotes(spark, root, ConnectedComponents.runAdaptive(
         clean.select(col("image_id").as("id")), edges, cfg.maxCcIterations)
         .select(col("id").as("image_id"), col("cluster_id"))))
     if (!clustersWereComplete) graft.qa.Qa.recordOverridesApplied(root, ovSeq)
@@ -288,7 +288,8 @@ object Dedup {
     val recur = Layout.runStage(spark, root, "recurring")(recurring(clusters, cfg))
     val decis = Layout.runStage(spark, root, "decisions")(
       decisionsEnriched(clean, verified, clusters, recur, cfg))
-    val audit = Layout.runStage(spark, root, "audit")(auditLog(decis, cfg))
+    val audit = Layout.runStage(spark, root, "audit", cache = false)(
+      auditLog(decis, cfg))
     Layout.runStage(spark, root, "duplicate_history", batchCol, base)(
       duplicateHistory(decis, verified))
 

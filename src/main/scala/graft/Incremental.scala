@@ -45,6 +45,16 @@ object Incremental {
 
   private val IndexBatch = "idx0"
 
+  // fixed pool for the three concurrent generator chains of `append`
+  // (mirrors Probe's serving chains). Daemon threads so an idle ingest
+  // process never blocks JVM exit.
+  private lazy val chainEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(3,
+        (r: Runnable) => {
+          val t = new Thread(r, "append-chain"); t.setDaemon(true); t
+        }))
+
   /** Build the incremental index stages from an existing features
     * checkpoint if they are not present yet. */
   private val IndexStages =
@@ -106,6 +116,7 @@ object Incremental {
   def append(spark: SparkSession, root: String, newInput: DataFrame, batch: String,
       cfg: DedupConfig = DedupConfig.default): DedupResult = {
     require(batch != Dedup.BaseBatch && batch != IndexBatch, s"batch '$batch' is reserved")
+    import spark.implicits._
     ensureIndexes(spark, root, cfg)
     val batchCol = Seq("batch")
 
@@ -120,148 +131,233 @@ object Incremental {
         .select("image_id", "caption", "issues", "quality_score", "quality_severity", "batch")
         .withColumn("status", lit(graft.qa.Qa.Pending)))
 
-    // ---- 2. exact groups: match new rows to existing reps -----------------
+    // ---- 2-5. generator chains, CONCURRENT --------------------------------
+    // The batch's KEY projection collects ONCE and every batch-bounded
+    // frame below derives from it as a LocalRelation: the previous shape
+    // re-derived each (ids / norms / phashes / distinct-key) set as its own
+    // distinct()+broadcast subtree — a batch-partition re-scan, a shuffle
+    // and a broadcast-exchange job PER CONSUMER, all pure scheduling floor
+    // at epoch batch sizes (the epoch profile put graft:candidates at 88
+    // stages). Collecting batch-scale state is the same boundedness
+    // assumption the broadcast(newKeyed) hints always made; row-level work
+    // (banding, cohort joins, verification) stays distributed.
+    //
+    // The exact/minhash, phash/simhash and norm/suffix chains share no data
+    // past newKeyed, so their index appends, bounded collects and size-agg
+    // actions run CONCURRENTLY (guide §2.6 — Spark schedules jobs from any
+    // thread; this is the serving path's 3-chain design applied to ingest).
+    // Sequential, the chains' driver syncs were each a dead bubble on a
+    // 32-core box; overlapped, the epoch's wall is the longest chain.
     val keyCols = Candidates.ExactKeyCols
-    val newKeyed = cleanNew.select((Seq("image_id") ++ keyCols).map(col): _*)
-    val oldGroupReps = Layout.read(spark, root, "rep_map")
-      .where(col("image_id") === col("rep"))
-      .select(keyCols.map(col) :+ col("rep"): _*)
-    // stream the big rep table, broadcast the new keys — no corpus shuffle
-    val matched = oldGroupReps.join(broadcast(newKeyed), keyCols)
-      .select((Seq("image_id") ++ keyCols :+ "rep").map(col): _*)
-    // repTag, not a min-over-window: batch-bounded here, but the batch can
-    // itself carry a hot caption — and the candidate machinery is asserted
-    // Window-free end to end (PlanSpec)
-    val unmatched = Candidates.repTag(
-      newKeyed.join(broadcast(matched.select("image_id")), Seq("image_id"), "left_anti"),
-      keyCols, "image_id", "rep")
-    val repNew = matched.unionByName(unmatched).withColumn("batch", lit(batch))
-    Layout.runStagePartition(spark, root, "rep_map", batchCol, batch)(repNew)
+    val newKeyed = {
+      val proj = cleanNew.select((Seq("image_id") ++ keyCols).map(col): _*)
+      spark.createDataFrame(
+        java.util.Arrays.asList(proj.collect(): _*), proj.schema)
+    }
+    val newIdSeq = newKeyed.select("image_id").collect().map(_.getString(0)).toSeq
+    val newIds = newIdSeq.toDF("id")
 
-    // ---- 3. norm groups ---------------------------------------------------
-    val newNorms = cleanNew.select("image_id", "norm")
-    val oldNormReps = Layout.read(spark, root, "norm_map")
-      .where(col("image_id") === col("nrep")).select("norm", "nrep")
-    val matchedN = oldNormReps.join(broadcast(newNorms), Seq("norm"))
-      .select("image_id", "norm", "nrep")
-    val unmatchedN = Candidates.repTag(
-      newNorms.join(broadcast(matchedN.select("image_id")), Seq("image_id"), "left_anti"),
-      Seq("norm"), "image_id", "nrep")
-    val normNew = matchedN.unionByName(unmatchedN).withColumn("batch", lit(batch))
-    Layout.runStagePartition(spark, root, "norm_map", batchCol, batch)(normNew)
-    val normMapAll = Layout.read(spark, root, "norm_map")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.DurationInt
+    implicit val ec: scala.concurrent.ExecutionContext = chainEc
 
-    // ---- 4. index appends: only NEW reps / phashes / norms ----------------
-    val newRepIds = repNew.where(col("image_id") === col("rep")).select("image_id")
-    Layout.runStagePartition(spark, root, "banded", batchCol, batch)(
-      Candidates.minhashBanded(cleanNew.join(broadcast(newRepIds), Seq("image_id")), cfg)
-        .withColumn("batch", lit(batch)))
-    val bandedAll = Layout.read(spark, root, "banded")
+    // exact groups + minhash index/pairs
+    val fExact = Future {
+      val oldGroupReps = Layout.read(spark, root, "rep_map")
+        .where(col("image_id") === col("rep"))
+        .select(keyCols.map(col) :+ col("rep"): _*)
+      // stream the big rep table, broadcast the new keys — no corpus shuffle
+      val matched = oldGroupReps.join(broadcast(newKeyed), keyCols)
+        .select((Seq("image_id") ++ keyCols :+ "rep").map(col): _*)
+      // repTag, not a min-over-window: batch-bounded here, but the batch can
+      // itself carry a hot caption — and the candidate machinery is asserted
+      // Window-free end to end (PlanSpec)
+      val unmatched = Candidates.repTag(
+        newKeyed.join(broadcast(matched.select("image_id")), Seq("image_id"), "left_anti"),
+        keyCols, "image_id", "rep")
+      val repNew = matched.unionByName(unmatched).withColumn("batch", lit(batch))
+      Layout.runStagePartition(spark, root, "rep_map", batchCol, batch)(repNew)
+      // batch-bounded (⊆ batch rows) — localized so the banding input and
+      // the pairsTouching filter broadcast for free
+      val newRepIds = repNew.where(col("image_id") === col("rep"))
+        .select("image_id").collect().map(_.getString(0)).toSeq.toDF("image_id")
+      Layout.runStagePartition(spark, root, "banded", batchCol, batch)(
+        Candidates.minhashBanded(cleanNew.join(broadcast(newRepIds), Seq("image_id")), cfg)
+          .withColumn("batch", lit(batch)))
+      val bandedAll = Layout.read(spark, root, "banded")
+      // only buckets that received a new key participate. The affected-key
+      // set is batch-bounded — collected and applied as a capped InSet
+      // prefilter under the index scan (Candidates.inSetPrefilter, ~3x
+      // cheaper per scanned row than hash-probing a broadcast join), with
+      // the exact equi-join dropping InSet collisions.
+      val affectedBands = bandedAll.where(col("batch") === batch)
+        .select("band", "bkey").distinct().collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSeq
+      val bandCohort = Candidates.inSetPrefilter(
+          bandedAll.select("id", "band", "bkey"), "bkey",
+          affectedBands.map(_._2).distinct)
+        .join(broadcast(affectedBands.toDF("band", "bkey")), Seq("band", "bkey"))
+      val exactNew = repNew.where(col("image_id") =!= col("rep"))
+        .select(col("rep").as("src"), col("image_id").as("dst"), lit("exact").as("source"))
+      val mhNew = pairsTouching(
+        Candidates.saltedSelfJoin(bandCohort, cfg.bucketSizeCap), newIds)
+        .withColumn("source", lit("minhash"))
+      (exactNew, mhNew)
+    }
 
-    val phNewVals = cleanNew.select("phash").distinct()
-    val phAll = clean.select("image_id", "phash", "batch")
-    val presentOld = phAll.where(col("batch") =!= batch)
-      .join(broadcast(phNewVals), Seq("phash")).select("phash").distinct()
-    val newDistinctPh = phNewVals.join(broadcast(presentOld), Seq("phash"), "left_anti")
-    val newPhReps = cleanNew.select("image_id", "phash")
-      .join(broadcast(newDistinctPh), Seq("phash"))
-      .groupBy("phash").agg(min("image_id").as("id"))
-      .select("id", "phash")
-    Layout.runStagePartition(spark, root, "banded_simhash", batchCol, batch)(
-      Candidates.simhashBanded(newPhReps, cfg).withColumn("batch", lit(batch)))
-    val bandedSimAll = Layout.read(spark, root, "banded_simhash")
+    // phash groups + simhash index/pairs
+    val fSim = Future {
+      val phNewValSeq = newKeyed.select("phash").collect()
+        .map(_.getLong(0)).distinct.toSeq
+      val phNewVals = phNewValSeq.toDF("phash")
+      // ONE corpus pass serves both phash needs (the old shape paid two
+      // full clean scans): old members of touched phashes — for the
+      // present-phash set AND the per-phash min (prepPh). Batch-bounded
+      // output, persisted for its two consumers (released after the
+      // candidates write, its last consumer).
+      val phOldCohort = clean.select("image_id", "phash", "batch")
+        .where(col("batch") =!= batch)
+        .join(broadcast(phNewVals), Seq("phash"))
+        .select("image_id", "phash")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      val presentOld = phOldCohort.select("phash").distinct().collect()
+        .map(_.getLong(0)).toSet
+      val newDistinctPh = phNewValSeq.filterNot(presentOld).toDF("phash")
+      val newPhReps = cleanNew.select("image_id", "phash")
+        .join(broadcast(newDistinctPh), Seq("phash"))
+        .groupBy("phash").agg(min("image_id").as("id"))
+        .select("id", "phash")
+      Layout.runStagePartition(spark, root, "banded_simhash", batchCol, batch)(
+        Candidates.simhashBanded(newPhReps, cfg).withColumn("batch", lit(batch)))
+      val bandedSimAll = Layout.read(spark, root, "banded_simhash")
+      // prepPh reuses the phash cohort — the per-phash min over (old
+      // members of touched phashes ∪ batch rows) is exactly the old
+      // full-scan groupBy restricted to the touched keys
+      val prepPh = phOldCohort
+        .unionByName(cleanNew.select("image_id", "phash"))
+        .groupBy("phash").agg(min("image_id").as("prep"))
+      val samePhashNew = cleanNew.select("image_id", "phash")
+        .join(broadcast(prepPh), Seq("phash"))
+        .where(col("image_id") =!= col("prep"))
+        .select(col("prep").as("src"), col("image_id").as("dst"))
+      val affectedCombos = bandedSimAll.where(col("batch") === batch)
+        .select("band", "bkey").distinct().collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSeq
+      val simBandNew =
+        if (affectedCombos.isEmpty) samePhashNew.limit(0)
+        else {
+          val simCohort = Candidates.inSetPrefilter(
+              bandedSimAll.select("id", "band", "bkey"), "bkey",
+              affectedCombos.map(_._2).distinct)
+            .join(broadcast(affectedCombos.toDF("band", "bkey")), Seq("band", "bkey"))
+          pairsTouching(
+            Candidates.saltedSelfJoin(simCohort, cfg.bucketSizeCap),
+            newPhReps.select("id"))
+        }
+      val simNew = samePhashNew.unionByName(simBandNew)
+        .withColumn("source", lit("simhash"))
+      (simNew, phOldCohort)
+    }
 
-    // derived from normNew, NOT unmatchedN: on a re-run after the norm_map
-    // partition committed (crash / stream redelivery), the new reps match
-    // THEMSELVES in oldNormReps, so unmatchedN is empty — an unmatchedN-based
-    // slice would commit an EMPTY suffix_keys partition and every future
-    // append would silently miss substring duplicates against these
-    // captions. normNew's self-rep rows are stable across re-runs (the same
-    // trick that keeps newRepIds stable via matched self-rows).
-    val newNormRepRows = normNew.where(col("image_id") === col("nrep"))
-      .select(col("nrep").as("id"), col("norm")).distinct()
-    Layout.runStagePartition(spark, root, "suffix_keys", batchCol, batch)(
-      SuffixDup.suffixEntries(newNormRepRows).select("b_id", "tier", "k")
-        .withColumn("batch", lit(batch)))
-    val suffixKeysAll = Layout.read(spark, root, "suffix_keys")
+    // norm groups + suffix index/pairs
+    val fSub = Future {
+      val newNorms = newKeyed.select("image_id", "norm")
+      val oldNormReps = Layout.read(spark, root, "norm_map")
+        .where(col("image_id") === col("nrep")).select("norm", "nrep")
+      val matchedN = oldNormReps.join(broadcast(newNorms), Seq("norm"))
+        .select("image_id", "norm", "nrep")
+      val unmatchedN = Candidates.repTag(
+        newNorms.join(broadcast(matchedN.select("image_id")), Seq("image_id"), "left_anti"),
+        Seq("norm"), "image_id", "nrep")
+      val normNew = matchedN.unionByName(unmatchedN).withColumn("batch", lit(batch))
+      Layout.runStagePartition(spark, root, "norm_map", batchCol, batch)(normNew)
+      val normMapAll = Layout.read(spark, root, "norm_map")
+      // derived from normNew, NOT unmatchedN: on a re-run after the
+      // norm_map partition committed (crash / stream redelivery), the new
+      // reps match THEMSELVES in oldNormReps, so unmatchedN is empty — an
+      // unmatchedN-based slice would commit an EMPTY suffix_keys partition
+      // and every future append would silently miss substring duplicates
+      // against these captions. normNew's self-rep rows are stable across
+      // re-runs (the same trick that keeps newRepIds stable via matched
+      // self-rows).
+      val newNormRepRows = normNew.where(col("image_id") === col("nrep"))
+        .select(col("nrep").as("id"), col("norm")).distinct()
+      Layout.runStagePartition(spark, root, "suffix_keys", batchCol, batch)(
+        SuffixDup.suffixEntries(newNormRepRows).select("b_id", "tier", "k")
+          .withColumn("batch", lit(batch)))
+      val suffixKeysAll = Layout.read(spark, root, "suffix_keys")
 
-    // ---- 5. candidate pairs touching the new batch ------------------------
-    val newIds = cleanNew.select(col("image_id").as("id"))
+      // containment relations touching norms of the new batch
+      val touchedNorms = newKeyed.select("norm").distinct()
+      val nrepsAll = normMapAll.where(col("image_id") === col("nrep"))
+      val touchedReps = nrepsAll.join(broadcast(touchedNorms), Seq("norm"))
+        .select(col("nrep").as("id"), col("norm"))
+      // R1: touched captions contained in ANY caption — probe new, filter
+      // the suffix index by the probes' keys (batch-bounded: one probe
+      // entry per touched rep), rejoin norms for verification
+      val probesNew = SuffixDup.probeEntries(touchedReps, cfg)
+      val probeTierK = probesNew.select("tier", "k").distinct().collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSeq
+      val skCohort = Candidates.inSetPrefilter(
+          suffixKeysAll.select("b_id", "tier", "k"), "k",
+          probeTierK.map(_._2).distinct)
+        .join(broadcast(probeTierK.toDF("tier", "k")), Seq("tier", "k"))
+      // NO broadcast hint on skCohort: unlike the other broadcasts here
+      // (all bounded by the new batch), this is a slice of the full suffix
+      // index selected by the probes' (tier,k) keys — a hot shared prefix
+      // can pull a corpus-scale slice through the driver. AQE still
+      // converts the shuffle join to a broadcast one when the slice is
+      // small.
+      val suffixCohort = nrepsAll
+        .select(col("nrep").as("b_id"), col("norm").as("b_norm"))
+        .join(skCohort, Seq("b_id"))
+      val r1 = SuffixDup.verifyJoin(probesNew, suffixCohort, cfg)
+      // R2: ANY caption contained in a touched caption — build new, filter
+      // all probes by the new builds' keys (probe keys are one hash per row)
+      val buildsNew = SuffixDup.suffixEntries(touchedReps)
+      val buildTierK = buildsNew.select("tier", "k").distinct().collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSeq
+      val probeCohort = Candidates.inSetPrefilter(
+          SuffixDup.probeEntries(
+            nrepsAll.select(col("nrep").as("id"), col("norm")), cfg), "k",
+          buildTierK.map(_._2).distinct)
+        .join(broadcast(buildTierK.toDF("tier", "k")), Seq("tier", "k"))
+      val r2 = SuffixDup.verifyJoin(probeCohort, buildsNew, cfg)
+      val relations = r1.union(r2).distinct()
+      val involvedReps = relations.select(col("src").as("nrep"))
+        .union(relations.select(col("dst").as("nrep"))).distinct()
+      val normCohort = normMapAll.join(broadcast(involvedReps), Seq("nrep"))
+        .select("image_id", "norm", "nrep")
+      pairsTouching(
+        Candidates.expandSubstringPairs(relations, normCohort)
+          .select("src", "dst"), newIds)
+        .withColumn("source", lit("substring"))
+    }
 
-    val exactNew = repNew.where(col("image_id") =!= col("rep"))
-      .select(col("rep").as("src"), col("image_id").as("dst"), lit("exact").as("source"))
-
-    // MinHash: only buckets that received a new key participate
-    val bandedNewPart = bandedAll.where(col("batch") === batch)
-    val affectedBands = bandedNewPart.select("band", "bkey").distinct()
-    val bandCohort = bandedAll.select("id", "band", "bkey")
-      .join(broadcast(affectedBands), Seq("band", "bkey"))
-    val mhNew = pairsTouching(
-      Candidates.saltedSelfJoin(bandCohort, cfg.bucketSizeCap), newIds)
-      .withColumn("source", lit("minhash"))
-
-    // SimHash: same-phash links for new members + affected combo buckets
-    val prepPh = phAll.join(broadcast(phNewVals), Seq("phash"))
-      .groupBy("phash").agg(min("image_id").as("prep"))
-    val samePhashNew = cleanNew.select("image_id", "phash")
-      .join(broadcast(prepPh), Seq("phash"))
-      .where(col("image_id") =!= col("prep"))
-      .select(col("prep").as("src"), col("image_id").as("dst"))
-    val affectedCombos = bandedSimAll.where(col("batch") === batch)
-      .select("band", "bkey").distinct()
-    val simCohort = bandedSimAll.select("id", "band", "bkey")
-      .join(broadcast(affectedCombos), Seq("band", "bkey"))
-    val newPhRepIds = newPhReps.select("id")
-    val simBandNew = pairsTouching(
-      Candidates.saltedSelfJoin(simCohort, cfg.bucketSizeCap), newPhRepIds)
-    val simNew = samePhashNew.unionByName(simBandNew).withColumn("source", lit("simhash"))
-
-    // Substring: containment relations touching norms of the new batch
-    val touchedNorms = cleanNew.select("norm").distinct()
-    val nrepsAll = normMapAll.where(col("image_id") === col("nrep"))
-    val touchedReps = nrepsAll.join(broadcast(touchedNorms), Seq("norm"))
-      .select(col("nrep").as("id"), col("norm"))
-    // R1: touched captions contained in ANY caption — probe new, filter the
-    // suffix index by the probes' keys, rejoin norms for verification
-    val probesNew = SuffixDup.probeEntries(touchedReps, cfg)
-    val skCohort = suffixKeysAll.select("b_id", "tier", "k")
-      .join(broadcast(probesNew.select("tier", "k").distinct()), Seq("tier", "k"))
-    // NO broadcast hint on skCohort: unlike the other broadcasts here (all
-    // bounded by the new batch), this is a slice of the full suffix index
-    // selected by the probes' (tier,k) keys — a hot shared prefix can pull
-    // a corpus-scale slice through the driver. AQE still converts the
-    // shuffle join to a broadcast one at runtime when the slice is small.
-    val suffixCohort = nrepsAll
-      .select(col("nrep").as("b_id"), col("norm").as("b_norm"))
-      .join(skCohort, Seq("b_id"))
-    val r1 = SuffixDup.verifyJoin(probesNew, suffixCohort, cfg)
-    // R2: ANY caption contained in a touched caption — build new, filter
-    // all probes by the new builds' keys (probe keys are one hash per row)
-    val buildsNew = SuffixDup.suffixEntries(touchedReps)
-    val probeCohort = SuffixDup.probeEntries(
-        nrepsAll.select(col("nrep").as("id"), col("norm")), cfg)
-      .join(broadcast(buildsNew.select("tier", "k").distinct()), Seq("tier", "k"))
-    val r2 = SuffixDup.verifyJoin(probeCohort, buildsNew, cfg)
-    val relations = r1.union(r2).distinct()
-    val involvedReps = relations.select(col("src").as("nrep"))
-      .union(relations.select(col("dst").as("nrep"))).distinct()
-    val normCohort = normMapAll.join(broadcast(involvedReps), Seq("nrep"))
-      .select("image_id", "norm", "nrep")
-    val subNew = pairsTouching(
-      Candidates.expandSubstringPairs(relations, normCohort)
-        .select("src", "dst"), newIds)
-      .withColumn("source", lit("substring"))
+    val (exactNew, mhNew) = Await.result(fExact, 60.minutes)
+    val (simNew, phOldCohort) = Await.result(fSim, 60.minutes)
+    val subNew = Await.result(fSub, 60.minutes)
 
     val candsNew = exactNew.unionByName(mhNew.select("src", "dst", "source"))
       .unionByName(simNew.select("src", "dst", "source"))
       .unionByName(subNew.select("src", "dst", "source"))
       .withColumn("batch", lit(batch))
     Layout.runStagePartition(spark, root, "candidates", batchCol, batch)(candsNew)
+    phOldCohort.unpersist(false)
     val candsAll = Layout.read(spark, root, "candidates")
 
     // ---- 6. verify only the new pairs -------------------------------------
+    // hydration slice: verify INNER-joins features on the pair endpoints,
+    // so restricting the features side to candidate-involved ids is
+    // lossless — and the full-corpus feature frame was otherwise BROADCAST
+    // twice per epoch by the hydrate joins (the endpoint set is
+    // batch-proportional: every pair touches the batch)
+    val newCands = candsAll.where(col("batch") === batch)
+    val endpointIds = newCands
+      .select(explode(array(col("src"), col("dst"))).as("image_id")).distinct()
     Layout.runStagePartition(spark, root, "verified", batchCol, batch)(
-      PairVerifier.verify(candsAll.where(col("batch") === batch), clean, cfg)
+      PairVerifier.verify(newCands,
+        clean.join(broadcast(endpointIds), Seq("image_id")), cfg)
         .withColumn("batch", lit(batch)))
     val verifiedAll = Layout.read(spark, root, "verified")
 
@@ -285,58 +381,49 @@ object Incremental {
       .select("src", "dst", "match_score")
 
     val (clusters, recur, decis) = if (canFast) {
-      // localCheckpoint EAGER: the fast path reads clusters/decisions and
-      // writes their successors back to the SAME stage paths — the source
-      // must be fully materialized into blocks BEFORE the overwrite deletes
-      // the files, or the write job races its own input (a lazy checkpoint
-      // materializes during the first job that computes it, which IS the
-      // overwrite; measured: 9 concurrent appends all lost that race and
-      // died on FileNotFound mid-rewrite). Costs one extra job; the full
-      // table pass itself was always paid by the rewrite. At warehouse
-      // scale the same update ships as `Layout.mergeStage` partition
-      // rewrites against a snapshot dir instead of a full-table overwrite;
-      // the full-table write here keeps ResumeSpec's append ≡
-      // full-recompute byte parity.
+      // The quotient graph is batch-proportional BY CONSTRUCTION (edges
+      // point old→new, old endpoints collapse to their cluster label), so
+      // its CC is a driver union-find (`ConnectedComponents.runLocal`, the
+      // same shape Probe serves with — pinned equal to the distributed
+      // form by CcSpec): the per-round Spark jobs the distributed loop paid
+      // here (join + agg + checkpoint + hash-sum, ~2 jobs x rounds, plus a
+      // remap count job) collapse into one bounded collect. The collected
+      // frames are exactly the ones this path already broadcast.
+      val newIdSet = newIdSeq.toSet
+      // crash-rerun guard: a prior attempt may have committed a clusters
+      // table that already includes this batch — new rows are recomputed
+      // below, so they must not also survive from the contaminated read
       val clustersPrev = Layout.read(spark, root, "clusters")
-        // crash-rerun guard: a prior attempt may have committed a clusters
-        // table that already includes this batch — new rows are recomputed
-        // below, so they must not also survive from the contaminated read
         .join(broadcast(newIds.select(col("id").as("image_id"))),
           Seq("image_id"), "left_anti")
-        .localCheckpoint()
       // quotient graph: old endpoints collapse to their current cluster
       // label (one super-node per touched component); only src can be old
-      // (dst is always new), so one broadcast lookup maps it. The big
-      // clusters table is only ever SCANNED against broadcast new keys.
-      val srcLab = clustersPrev
-        .join(broadcast(newEdges.select(col("src")).distinct()),
-          col("image_id") === col("src"))
-        .select(col("src").as("qsrc"), col("cluster_id").as("qlab"))
-      val qEdges = newEdges
-        .join(broadcast(srcLab), col("src") === col("qsrc"), "left")
-        .select(coalesce(col("qlab"), col("src")).as("src"), col("dst"),
-          col("match_score"))
-      // CC over the tiny graph of super-nodes + new ids: labels are min
-      // member ids, and old labels ARE min member ids, so propagation over
-      // the quotient yields exactly the full-graph labels (min composes).
-      // Vertices must include the touched super-nodes — their rows are what
-      // the remap below is made of.
-      val qLabels = ConnectedComponents.run(
-        newIds.select(col("id"))
-          .unionByName(qEdges.select(col("src").as("id"))).distinct(),
-        qEdges, cfg.maxCcIterations, cfg.ccPointerJump)
+      // (dst is always new). The big clusters table is only ever SCANNED
+      // against broadcast new keys; the edge set and label slice are
+      // batch-bounded, so they collect.
+      val edgeRows = newEdges.select(col("src"), col("dst")).collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      val srcIds = edgeRows.map(_._1).distinct.toSeq.toDF("src")
+      val labMap = clustersPrev
+        .join(broadcast(srcIds), col("image_id") === col("src"))
+        .select(col("image_id"), col("cluster_id")).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      val qEdges = edgeRows.toSeq
+        .map { case (s, d) => (labMap.getOrElse(s, s), d) }
+      // union-find over super-nodes + new ids: labels are min member ids,
+      // and old labels ARE min member ids, so min-label propagation over
+      // the quotient yields exactly the full-graph labels (min composes)
+      val qLabels = ConnectedComponents.runLocal(newIdSeq, qEdges)
       // old components whose label changed (a merge through a new row)
-      val remap = qLabels
-        .join(broadcast(newIds), Seq("id"), "left_anti")
-        .where(col("id") =!= col("cluster_id"))
-        .select(col("id").as("__from"), col("cluster_id").as("__to"))
-      val newAssign = qLabels.join(broadcast(newIds), Seq("id"))
-        .select(col("id").as("image_id"), col("cluster_id"))
+      val remapSeq = qLabels.toSeq
+        .filter { case (id, lab) => !newIdSet.contains(id) && id != lab }
+      val remap = remapSeq.toDF("__from", "__to")
+      val newAssign = qLabels.toSeq.filter(kv => newIdSet.contains(kv._1))
+        .toDF("image_id", "cluster_id")
       // observability + spec hook: record that the incremental global path
-      // ran and how many existing clusters this batch merged away (the
-      // count is a job over the tiny checkpointed quotient labels)
-      Layout.bufferLineage(root, s"global@incremental/$batch", remap.count(),
-        0.0, skipped = false)
+      // ran and how many existing clusters this batch merged away
+      Layout.bufferLineage(root, s"global@incremental/$batch",
+        remapSeq.size.toLong, 0.0, skipped = false)
       val clustersNext = clustersPrev
         .join(broadcast(remap), col("cluster_id") === col("__from"), "left")
         .select(col("image_id"),
@@ -345,7 +432,11 @@ object Incremental {
 
       Seq("clusters", "recurring", "decisions", "audit")
         .foreach(Layout.invalidate(root, _))
-      val clustersW = Layout.runStage(spark, root, "clusters")(clustersNext)
+      // replace-swap writes: the successors read their predecessors' live
+      // files for the whole write job (see Layout.runStageReplace — this
+      // deletes the per-epoch eager localCheckpoint materialization passes
+      // the in-place Overwrite forced)
+      val clustersW = Layout.runStageReplace(spark, root, "clusters")(clustersNext)
       val recurW = Layout.runStage(spark, root, "recurring")(
         Dedup.recurring(clustersW, cfg))
       // old decision rows: best/top/decision final; refresh cluster_id via
@@ -354,8 +445,6 @@ object Incremental {
       // new dst lives in this batch's partition)
       val decisPrev = Layout.read(spark, root, "decisions")
         .where(col("batch") =!= batch)
-        // eager for the same self-overwrite reason as clustersPrev above
-        .localCheckpoint()
       // recurring is the small side (clusters over the member threshold);
       // no broadcast hint — AQE converts when it fits, exactly as the full
       // path's recurring join behaves
@@ -373,7 +462,7 @@ object Incremental {
       // table cannot broadcast (outer side) and would shuffle the corpus
       val decisNew = Dedup.decisionsEnriched(cleanNew,
         verifiedAll.where(col("batch") === batch), newAssign, recurW, cfg)
-      val decisW = Layout.runStage(spark, root, "decisions")(
+      val decisW = Layout.runStageReplace(spark, root, "decisions")(
         decisOld.unionByName(decisNew))
       (clustersW, recurW, decisW)
     } else {
@@ -383,7 +472,7 @@ object Incremental {
       val edges = graft.qa.Qa.applyOverrides(spark, root,
         verifiedAll.where(col("is_edge")).select("src", "dst", "match_score"))
       val clustersW = Layout.runStage(spark, root, "clusters")(
-        graft.qa.Qa.applyPromotes(spark, root, ConnectedComponents.run(
+        graft.qa.Qa.applyPromotes(spark, root, ConnectedComponents.runAdaptive(
           clean.select(col("image_id").as("id")), edges, cfg.maxCcIterations,
           cfg.ccPointerJump)
           .select(col("id").as("image_id"), col("cluster_id"))))
@@ -394,7 +483,8 @@ object Incremental {
         Dedup.decisionsEnriched(clean, verifiedAll, clustersW, recurW, cfg))
       (clustersW, recurW, decisW)
     }
-    val audit = Layout.runStage(spark, root, "audit")(Dedup.auditLog(decis, cfg))
+    val audit = Layout.runStage(spark, root, "audit", cache = false)(
+      Dedup.auditLog(decis, cfg))
     // event log: only THIS batch's events append (old rows' best matches
     // are stable — edges point old→new), never a rewrite
     Layout.runStagePartition(spark, root, "duplicate_history", batchCol, batch)(

@@ -135,14 +135,16 @@ object Probe {
     // paid on the serving path. The conf is captured per-frame at persist()
     // registration, so it is set only around the Index construction and
     // restored before returning — nothing else in the session is affected.
-    val ck = "spark.sql.inMemoryColumnarStorage.compressed"
-    val ckSaved = spark.conf.getOption(ck)
-    spark.conf.set(ck, "false")
-    def cached(df: DataFrame): DataFrame = df.persist(StorageLevel.MEMORY_AND_DISK)
-    try { buildIndex(spark, root, cfg, cached) }
-    finally ckSaved match {
-      case Some(v) => spark.conf.set(ck, v)
-      case None => spark.conf.unset(ck)
+    openLock.synchronized {
+      val ck = "spark.sql.inMemoryColumnarStorage.compressed"
+      val ckSaved = spark.conf.getOption(ck)
+      spark.conf.set(ck, "false")
+      def cached(df: DataFrame): DataFrame = df.persist(StorageLevel.MEMORY_AND_DISK)
+      try { buildIndex(spark, root, cfg, cached) }
+      finally ckSaved match {
+        case Some(v) => spark.conf.set(ck, v)
+        case None => spark.conf.unset(ck)
+      }
     }
   }
 
@@ -193,6 +195,13 @@ object Probe {
     ctxMemo.values.foreach(_.close()); ctxMemo.clear()
   })
 
+  // serializes context open/rebuild AND the conf save/restore inside open():
+  // two concurrent run() rebuilds could otherwise interleave the get-then-put
+  // (leaking the losing context's persisted frames) and the save/set/restore
+  // of the columnar-compression override (ADVICE r5). Reentrant, so run()'s
+  // rebuild can call open() under the same lock.
+  private val openLock = new Object
+
   /** Evaluate `input` read-only against `root`, reusing (or transparently
     * rebuilding) the cached serving context. */
   def run(spark: SparkSession, root: String, input: DataFrame,
@@ -207,13 +216,15 @@ object Probe {
           "table; run Qa.refreshGlobal (or Qa.reclassify, which refreshes) " +
           "before probing")
     val key = s"${graft.util.Caches.sessionId(spark)}:$root"
-    val ctx = ctxMemo.get(key) match {
-      case Some(c) if c.cfg == cfg && c.fresh => c
-      case stale =>
-        stale.foreach(_.close())
-        val c = open(spark, root, cfg)
-        ctxMemo.put(key, c)
-        c
+    val ctx = openLock.synchronized {
+      ctxMemo.get(key) match {
+        case Some(c) if c.cfg == cfg && c.fresh => c
+        case stale =>
+          stale.foreach(_.close())
+          val c = open(spark, root, cfg)
+          ctxMemo.put(key, c)
+          c
+      }
     }
     ctx.probe(input)
   }
@@ -266,6 +277,114 @@ object Probe {
     finally sc.setJobDescription(null)
   }
 
+  // ---- driver-side twins of the batch-local derivations -------------------
+  // The round-5 probe localized batch state but still ran every batch-local
+  // DERIVATION (rep tagging, banding, suffix keys, pair emission) as its own
+  // driver-coordinated Spark job over a LocalRelation — pure scheduling
+  // floor at serving batch sizes (~0.1-0.2 s each, ~25 sequential jobs).
+  // These twins compute the same values in driver Scala using the SAME
+  // primitives the Column forms call (MinHash.signature/bandKeys,
+  // SimHash.comboKeys, XXH64 over UTF8String bytes — bit-parity pinned by
+  // SigSpec), so only the index-cohort fetches remain as cluster jobs.
+  // ProbeSpec's byte-parity contract (probe ≡ append's decisions) is the
+  // regression net for every one of them.
+
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def xxhSub(u: UTF8String, pos: Int, len: Int): Long = {
+    val s = u.substringSQL(pos, len)
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+  }
+
+  /** Min-id representative per key over local rows — `Candidates.repTag`'s
+    * group-min without the groupBy+join jobs. Returns id -> rep. */
+  private def repTagLocal[K](rows: Seq[(String, K)]): Map[String, String] = {
+    val mins = scala.collection.mutable.HashMap.empty[K, String]
+    rows.foreach { case (id, k) =>
+      val cur = mins.getOrElse(k, null)
+      if (cur == null || id < cur) mins(k) = id
+    }
+    rows.iterator.map { case (id, k) => id -> mins(k) }.toMap
+  }
+
+  /** Scala twin of `Candidates.minhashBanded` (posexplode of band keys):
+    * (id, band, bkey) rows for every rep with non-empty shingles. */
+  private def minhashBandedLocal(rows: Seq[(String, Seq[Long])],
+      cfg: DedupConfig): Seq[(String, Int, Long)] = {
+    val cs = graft.sig.MinHash.coeffs(cfg.numHashes, cfg.hashSeed)
+    rows.flatMap { case (id, sh) =>
+      if (sh == null || sh.isEmpty) Nil
+      else graft.sig.MinHash.bandKeys(
+        graft.sig.MinHash.signature(sh.toArray, cs), cfg.bands, cfg.hashSeed)
+        .iterator.zipWithIndex.map { case (k, b) => (id, b, k) }.toSeq
+    }
+  }
+
+  /** Scala twin of `SuffixDup.probeEntries`: widest covered tier + prefix
+    * key, hashed over the same UTF8 bytes `xxhash64(substr)` hashes. */
+  private def probeEntriesLocal(reps: Seq[(String, String)],
+      cfg: DedupConfig): Seq[(String, String, Int, Long)] =
+    reps.flatMap { case (id, norm) =>
+      val u = UTF8String.fromString(norm)
+      val n = u.numChars()
+      if (n >= cfg.substringMinLen && SuffixDup.Tiers.exists(n >= _)) {
+        val tier = SuffixDup.Tiers.filter(n >= _).max
+        Seq((id, norm, tier, xxhSub(u, 1, tier)))
+      } else Nil
+    }
+
+  /** Scala twin of `SuffixDup.suffixEntries`: one key per (token-aligned
+    * suffix, covered tier), deduped on (b_id, tier, k). Token starts are
+    * code-point positions, matching the Column form's char arithmetic. */
+  private def suffixEntriesLocal(
+      reps: Seq[(String, String)]): Seq[(String, String, Int, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Int, Long)]
+    reps.foreach { case (id, norm) =>
+      val u = UTF8String.fromString(norm)
+      val cps = norm.codePoints().toArray
+      val n = cps.length
+      val starts = scala.collection.mutable.ArrayBuffer(1)
+      var i = 0
+      while (i < n) { if (cps(i) == ' '.toInt) starts += i + 2; i += 1 }
+      val seen = scala.collection.mutable.HashSet.empty[(Int, Long)]
+      starts.foreach { p =>
+        val rem = n - p + 1
+        if (rem >= SuffixDup.Tiers.head) SuffixDup.Tiers.foreach { t =>
+          if (rem >= t) {
+            val k = xxhSub(u, p, t)
+            if (seen.add((t, k))) out += ((id, norm, t, k))
+          }
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Driver twin of the salted grid join over a localized cohort: all
+    * unordered same-bucket pairs, min-first (the exact pair set
+    * `Candidates.saltedSelfJoin` emits — CandidatesSpec pins grid == naive
+    * self-join; the cap only controls distributed parallelism, never the
+    * pair set). */
+  private def bucketPairsLocal(
+      rows: Seq[(String, Int, Long)]): Seq[(String, String)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    rows.groupBy(r => (r._2, r._3)).valuesIterator.foreach { g =>
+      val ids = g.map(_._1).toArray
+      var i = 0
+      while (i < ids.length - 1) {
+        var j = i + 1
+        while (j < ids.length) {
+          val a = ids(i); val b = ids(j)
+          out += (if (a <= b) (a, b) else (b, a))
+          j += 1
+        }
+        i += 1
+      }
+    }
+    out.toSeq
+  }
+
   private def evaluate(ctx: Context, input: DataFrame): ProbeResult =
     withProbeConf(ctx.spark) {
       val spark = ctx.spark
@@ -299,22 +418,31 @@ object Probe {
       }
 
       // One decode+fingerprint pass over the batch, then the rows live on
-      // the driver: every frame below that derives ONLY from the batch is a
-      // LocalRelation, and only joins against the cached index stages (each
-      // immediately re-localized — the results are cohort-sized) run as
-      // cluster jobs. Column-level logic is IDENTICAL to append's — the
-      // same expressions over the same shapes, only the physical placement
-      // changes (ProbeSpec's byte-parity contract is the regression net).
+      // the driver: every batch-local DERIVATION below runs in driver Scala
+      // (the spec-pinned twins above), and only joins against the cached
+      // index stages (each immediately re-localized — the results are
+      // cohort-sized) run as cluster jobs. Column-level logic is IDENTICAL
+      // to append's — the same primitives over the same shapes, only the
+      // physical placement changes (ProbeSpec's byte-parity contract is the
+      // regression net).
       val feats = L("feats")(Dedup.features(input, cfg))
       val cleanNew = feats.where(!col("is_low_quality"))
+      // filters/projections of a LocalRelation fold at optimization time —
+      // these collects are driver-only, no job
       val lowQ = L("lowQ")(feats.where(col("is_low_quality"))
         .select("image_id", "caption", "issues", "quality_score", "quality_severity")
         .withColumn("status", lit(graft.qa.Qa.Pending)))
       val oldClean = idx.oldClean
+      val cleanRows = cleanNew
+        .select("image_id", "norm", "w", "h", "fmt", "phash", "shingles").collect()
+      val newIdSeq = cleanRows.map(_.getString(0)).toSeq
+      val newIdSet = newIdSeq.toSet
+      def touching(pairs: Seq[(String, String)]): Seq[(String, String)] =
+        pairs.filter(p => newIdSet.contains(p._1) || newIdSet.contains(p._2))
 
       // ---- candidate generation: three independent index-fetch chains ----
       // The exact/minhash chain, the phash/simhash chain, and the norm/
-      // suffix chain (append steps 2-5, verbatim) share no data until the
+      // suffix chain (append steps 2-5, same values) share no data until the
       // candidate union, so their cohort fetches run CONCURRENTLY (Spark
       // schedules jobs from any thread; the probe-scoped session conf is
       // fixed for the whole scope). The serving wall for this section is
@@ -323,165 +451,230 @@ object Probe {
       import scala.concurrent.duration.DurationInt
       implicit val ec: scala.concurrent.ExecutionContext = probeEc
 
-      val newIds = cleanNew.select(col("image_id").as("id"))
       val keyCols = Candidates.ExactKeyCols
 
       // exact groups + minhash bands
       val fExactMh = Future {
         val newKeyed = cleanNew.select((Seq("image_id") ++ keyCols).map(col): _*)
-        // matched needs its own job: repNew consumes it twice AND the rep
-        // cohort join below keys on multiple columns (no single-column
-        // literal prefilter applies) — lazy would re-probe the full group
-        // index per consumer
-        val matched = L("matched")(idx.oldGroupReps.join(broadcast(newKeyed), keyCols)
-          .select((Seq("image_id") ++ keyCols :+ "rep").map(col): _*))
-        val unmatched = Candidates.repTag(
-          newKeyed.join(broadcast(matched.select("image_id")), Seq("image_id"), "left_anti"),
-          keyCols, "image_id", "rep")
-        val repNew = L("repNew")(matched.unionByName(unmatched))
-        val newRepIds = repNew.where(col("image_id") === col("rep")).select("image_id")
-        val bandedNew = L("bandedNew")(Candidates.minhashBanded(
-          cleanNew.join(broadcast(newRepIds), Seq("image_id")), cfg))
-        val affectedBands = dl(bandedNew.select("band", "bkey"))
-        val bandCohort = L("bandCohort")(
-          prefiltered(idx.banded.unionByName(bandedNew), "bkey", affectedBands)
-          .join(broadcast(affectedBands), Seq("band", "bkey")))
-        val exactNew = repNew.where(col("image_id") =!= col("rep"))
-          .select(col("rep").as("src"), col("image_id").as("dst"), lit("exact").as("source"))
-        // localize the salted self-join INSIDE the chain: lazy, its compute
-        // would bill the sequential candsNew union instead of overlapping
-        // with the other chains
-        val mhNew = L("mhNew")(Incremental.pairsTouching(
-          Candidates.saltedSelfJoin(bandCohort, cfg.bucketSizeCap), newIds)
-          .withColumn("source", lit("minhash")))
+        // the ONE cluster fetch of this chain head: the rep cohort join
+        // keys on multiple columns (no single-column literal prefilter
+        // applies), so the group index is probed by broadcast join
+        val matchedRows = L("matched")(
+          idx.oldGroupReps.join(broadcast(newKeyed), keyCols)
+            .select(col("image_id"), col("rep"))).collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap
+        // unmatched rows rep-tag among themselves (driver group-min — the
+        // same min-id-per-key repTag computes)
+        val unmatchedTag = repTagLocal(
+          cleanRows.toSeq.filterNot(r => matchedRows.contains(r.getString(0)))
+            .map(r => r.getString(0) ->
+              ((r.get(1), r.get(2), r.get(3), r.get(4), r.get(5)))))
+        val repOf: Map[String, String] = matchedRows ++ unmatchedTag
+        val newRepIds = repOf.collect { case (id, rep) if id == rep => id }.toSet
+        val exactNew = repOf.toSeq.collect {
+          case (id, rep) if id != rep => (rep, id)
+        }
+        // banding of the new reps: driver Scala over the batch's shingles
+        val bandedNew = minhashBandedLocal(
+          cleanRows.toSeq.filter(r => newRepIds.contains(r.getString(0)))
+            .map(r => r.getString(0) ->
+              (if (r.isNullAt(6)) null else r.getSeq[Long](6))), cfg)
+        val affectedBands = bandedNew.map(r => (r._2, r._3)).distinct
+        val affectedBandsDf = affectedBands.toDF("band", "bkey")
+        val cohortRows =
+          if (affectedBands.isEmpty) Seq.empty[(String, Int, Long)]
+          else L("bandCohort")(
+            prefiltered(idx.banded, "bkey", affectedBandsDf)
+              .join(broadcast(affectedBandsDf), Seq("band", "bkey"))
+              .select("id", "band", "bkey")).collect()
+            .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+        // pair emission over the localized cohort is driver work now
+        val mhNew = touching(bucketPairsLocal(cohortRows ++ bandedNew))
         (exactNew, mhNew)
       }
 
       // phash groups + simhash bands
       val fSim = Future {
-        val phNewVals = dl(cleanNew.select("phash"))
-        val phOld = oldClean.select("image_id", "phash")
+        val phNew = cleanRows.toSeq.map(r => (r.getString(0), r.getLong(5)))
+        val phNewVals = phNew.map(_._2).distinct
+        val phNewValsDf = phNewVals.toDF("phash")
         // one cluster fetch serves both: old members of touched phashes
         // (for prepPh) and the present-in-corpus phash set
         val phOldCohort = L("phOldCohort")(
-          prefiltered(phOld, "phash", phNewVals).join(broadcast(phNewVals), Seq("phash")))
-        val presentOld = dl(phOldCohort.select("phash"))
-        val newDistinctPh = phNewVals.join(broadcast(presentOld), Seq("phash"), "left_anti")
-        val newPhReps = L("newPhReps")(cleanNew.select("image_id", "phash")
-          .join(broadcast(newDistinctPh), Seq("phash"))
-          .groupBy("phash").agg(min("image_id").as("id"))
-          .select("id", "phash"))
-        // prepPh over the touched phashes only: old members of a touched
-        // phash are exactly phOldCohort - min over old and new per phash
-        val phAll = phOldCohort.unionByName(cleanNew.select("image_id", "phash"))
-        val prepPh = phAll.join(broadcast(phNewVals), Seq("phash"))
-          .groupBy("phash").agg(min("image_id").as("prep"))
-        val samePhashNew = cleanNew.select("image_id", "phash")
-          .join(broadcast(prepPh), Seq("phash"))
-          .where(col("image_id") =!= col("prep"))
-          .select(col("prep").as("src"), col("image_id").as("dst"))
-        val simBandedNew = L("simBandedNew")(Candidates.simhashBanded(newPhReps, cfg))
-        val affectedCombos = dl(simBandedNew.select("band", "bkey"))
-        val simCohort = L("simCohort")(
-          prefiltered(idx.bandedSim.unionByName(simBandedNew), "bkey", affectedCombos)
-          .join(broadcast(affectedCombos), Seq("band", "bkey")))
-        val simBandNew = Incremental.pairsTouching(
-          Candidates.saltedSelfJoin(simCohort, cfg.bucketSizeCap),
-          newPhReps.select("id"))
-        L("simNew")(samePhashNew.unionByName(simBandNew)
-          .withColumn("source", lit("simhash")))
+          prefiltered(oldClean.select(col("image_id"), col("phash")),
+            "phash", phNewValsDf)
+            .join(broadcast(phNewValsDf), Seq("phash"))
+            .select("image_id", "phash")).collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq
+        val presentOld = phOldCohort.map(_._2).toSet
+        // min image_id per touched phash over old cohort + batch rows
+        val prepOf = {
+          val mins = scala.collection.mutable.HashMap.empty[Long, String]
+          (phOldCohort ++ phNew).foreach { case (id, ph) =>
+            val cur = mins.getOrElse(ph, null)
+            if (cur == null || id < cur) mins(ph) = id
+          }
+          mins
+        }
+        val samePhashNew = phNew.collect {
+          case (id, ph) if id != prepOf(ph) => (prepOf(ph), id)
+        }
+        val newPhReps = {
+          val mins = scala.collection.mutable.HashMap.empty[Long, String]
+          phNew.foreach { case (id, ph) =>
+            if (!presentOld.contains(ph)) {
+              val cur = mins.getOrElse(ph, null)
+              if (cur == null || id < cur) mins(ph) = id
+            }
+          }
+          mins.toSeq.map(_.swap) // (id, phash)
+        }
+        val newPhRepIds = newPhReps.map(_._1).toSet
+        val simBandedNew = newPhReps.flatMap { case (id, ph) =>
+          graft.sig.SimHash.comboKeys(ph, cfg.phashBands, cfg.phashAgree)
+            .iterator.zipWithIndex.map { case (k, b) => (id, b, k) }
+        }
+        val affectedCombos = simBandedNew.map(r => (r._2, r._3)).distinct
+        val affectedCombosDf = affectedCombos.toDF("band", "bkey")
+        val simCohortRows =
+          if (affectedCombos.isEmpty) Seq.empty[(String, Int, Long)]
+          else L("simCohort")(
+            prefiltered(idx.bandedSim, "bkey", affectedCombosDf)
+              .join(broadcast(affectedCombosDf), Seq("band", "bkey"))
+              .select("id", "band", "bkey")).collect()
+            .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+        val simBandNew = bucketPairsLocal(simCohortRows ++ simBandedNew)
+          .filter(p => newPhRepIds.contains(p._1) || newPhRepIds.contains(p._2))
+        samePhashNew ++ simBandNew
       }
 
       // norm groups + suffix pass
       val fSub = Future {
-        val newNorms = cleanNew.select("image_id", "norm")
-        val matchedN = L("matchedN")(
-          prefiltered(idx.oldNormReps, "norm", newNorms)
-          .join(broadcast(newNorms), Seq("norm"))
-          .select("image_id", "norm", "nrep"))
-        val unmatchedN = Candidates.repTag(
-          newNorms.join(broadcast(matchedN.select("image_id")), Seq("image_id"), "left_anti"),
-          Seq("norm"), "image_id", "nrep")
-        val normNew = L("normNew")(matchedN.unionByName(unmatchedN))
-        val touchedNorms = dl(cleanNew.select("norm"))
-        val normNewReps = normNew.where(col("image_id") === col("nrep"))
-        val nrepsOld = idx.normMapAll.where(col("image_id") === col("nrep"))
-        val nrepsAll = nrepsOld.unionByName(normNewReps)
-        val touchedReps = L("touchedReps")(
-          prefiltered(nrepsAll, "norm", touchedNorms)
-          .join(broadcast(touchedNorms), Seq("norm"))
-          .select(col("nrep").as("id"), col("norm")))
+        val newNorms = cleanRows.toSeq.map(r => (r.getString(0), r.getString(1)))
+        val touchedNormSet = newNorms.map(_._2).distinct
+        val touchedNormsDf = touchedNormSet.toDF("norm")
+        // ONE fetch serves both consumers that keyed on the same norm set:
+        // the old rep per touched norm (norm-group matching) AND the old
+        // reps participating in touched-caption containment
+        val oldNormCohort = L("normRepCohort")(
+          prefiltered(idx.oldNormReps, "norm", touchedNormsDf)
+            .join(broadcast(touchedNormsDf), Seq("norm"))
+            .select("norm", "nrep")).collect()
+          .map(r => (r.getString(0), r.getString(1))).toSeq
+        val oldRepByNorm = oldNormCohort.toMap
+        val unmatchedTag = repTagLocal(
+          newNorms.filterNot(r => oldRepByNorm.contains(r._2)))
+        val normNewRows = newNorms.map { case (id, norm) =>
+          (id, norm, oldRepByNorm.getOrElse(norm, unmatchedTag(id)))
+        }
+        val normNewReps = normNewRows.collect {
+          case (id, norm, nrep) if id == nrep => (id, norm)
+        }.distinct
+        val touchedRepsOld = oldNormCohort.map(p => (p._2, p._1))
+        val touchedReps = touchedRepsOld ++ normNewReps
         // the new-probes-vs-old-builds chain (r1) and the old-probes-vs-
-        // new-builds chain (r2) share only touchedReps/nrepsAll (both
-        // already resolved here) — their cohort fetches overlap
+        // new-builds chain (r2) share only touchedReps (already resolved
+        // here) — their fused fetch+verify jobs overlap
+        val probesNew = probeEntriesLocal(touchedReps, cfg)
+        val buildsNew = suffixEntriesLocal(touchedReps)
+        val suffixSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("b_id",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("b_norm",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("tier",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))
+        def suffixDf(rows: Seq[(String, String, Int, Long)],
+            aSide: Boolean): DataFrame = {
+          val rs: Seq[org.apache.spark.sql.Row] =
+            rows.map(t => org.apache.spark.sql.Row(t._1, t._2, t._3, t._4))
+          val base = spark.createDataFrame(
+            java.util.Arrays.asList(rs: _*), suffixSchema)
+          if (aSide) base.select(col("b_id").as("a_id"),
+            col("b_norm").as("a_norm"), col("tier"), col("k"))
+          else base
+        }
         val fR1 = Future {
-          val probesNew = SuffixDup.probeEntries(touchedReps, cfg)
-          val probeTierK = dl(probesNew.select("tier", "k"))
-          val newNormRepRows = normNewReps
-            .select(col("nrep").as("id"), col("norm")).distinct()
-          // old builds: pre-joined serving index, broadcast-filter scan only
-          // (the shuffle join to attach b_norm already ran at open());
-          // new builds: local explode, joined locally. Cross terms on b_id
-          // are empty — probe ids are unseen. Left LAZY on purpose: the
-          // cohort has one consumer (the verify below), and localizing it
-          // would collapse the contains-verify onto a single-partition
-          // LocalRelation — lazy, the verify runs over the cached frame's
-          // 32 partitions inside r1's one job.
+          val probeTierKSet = probesNew.map(t => (t._3, t._4)).distinct
+          val probeTierK = probeTierKSet.toDF("tier", "k")
+          // old builds: pre-joined serving index, broadcast-filter scan
+          // only; new builds: local rows filtered by the probes' keys.
+          // Fused into ONE job with the contains-verify (the cohort's only
+          // consumer) — the verify runs over the cached scan's partitions.
           val suffixCohortOld = prefiltered(idx.suffixJoined, "k", probeTierK)
             .join(broadcast(probeTierK), Seq("tier", "k"))
             .select("b_id", "b_norm", "tier", "k")
-          val suffixCohortNew = SuffixDup.suffixEntries(newNormRepRows)
-            .join(probeTierK, Seq("tier", "k"))
-            .select("b_id", "b_norm", "tier", "k")
-          // localized here so the explode+contains verify overlaps the
-          // other chains instead of billing the sequential relations step
-          L("r1")(SuffixDup.verifyJoin(probesNew,
+          val tkSet = probeTierKSet.toSet
+          val suffixCohortNew = suffixDf(
+            buildsNew.filter(t => tkSet.contains((t._3, t._4))), aSide = false)
+          L("r1")(SuffixDup.verifyJoin(suffixDf(probesNew, aSide = true),
             suffixCohortOld.unionByName(suffixCohortNew), cfg))
         }
         val fR2 = Future {
-          // suffixEntries is the HOF+explode-heaviest local derivation and
-          // has two consumers - materialize once
-          val buildsNew = L("buildsNew")(SuffixDup.suffixEntries(touchedReps))
-          val buildTierK = dl(buildsNew.select("tier", "k"))
-          // old probes precomputed at open(); new reps' probes are local.
-          // Lazy for the same reason as suffixCohortOld: one consumer, and
-          // the verify parallelism comes from the cached scan's partitions.
+          val buildTierKSet = buildsNew.map(t => (t._3, t._4)).distinct
+          val buildTierK = buildTierKSet.toDF("tier", "k")
+          val tkSet = buildTierKSet.toSet
+          // old probes precomputed at open(); new reps' probes are local
           val probeCohort = prefiltered(idx.oldProbes, "k", buildTierK)
             .join(broadcast(buildTierK), Seq("tier", "k"))
-            .unionByName(SuffixDup.probeEntries(
-                normNewReps.select(col("nrep").as("id"), col("norm")), cfg)
-              .join(buildTierK, Seq("tier", "k")))
-          L("r2")(SuffixDup.verifyJoin(probeCohort, buildsNew, cfg))
+            .unionByName(suffixDf(
+              probeEntriesLocal(normNewReps, cfg)
+                .filter(t => tkSet.contains((t._3, t._4))), aSide = true))
+          L("r2")(SuffixDup.verifyJoin(probeCohort,
+            suffixDf(buildsNew, aSide = false), cfg))
         }
         val r1 = Await.result(fR1, 10.minutes)
         val r2 = Await.result(fR2, 10.minutes)
         // r1/r2 are local — union + distinct on the driver, zero jobs
-        val relRows = (r1.collect() ++ r2.collect()).distinct
-        val relations = spark.createDataFrame(
-          java.util.Arrays.asList(relRows.toSeq: _*), r1.schema)
-        val involvedReps = relRows.iterator
-          .flatMap(r => Iterator(r.getString(0), r.getString(1)))
-          .toSeq.distinct.toDF("nrep")
-        val normCohort = L("normCohort")(
-          prefiltered(idx.normMapAll.unionByName(normNew), "nrep", involvedReps)
-          .join(broadcast(involvedReps), Seq("nrep"))
-          .select("image_id", "norm", "nrep"))
-        L("subNew")(Incremental.pairsTouching(
-          Candidates.expandSubstringPairs(relations, normCohort)
-            .select("src", "dst"), newIds)
-          .withColumn("source", lit("substring")))
+        val relations = (r1.collect() ++ r2.collect())
+          .map(r => (r.getString(0), r.getString(1))).distinct.toSeq
+        val involvedReps = relations.flatMap(p => Seq(p._1, p._2)).distinct
+        val involvedRepsDf = involvedReps.toDF("nrep")
+        val involvedSet = involvedReps.toSet
+        val normCohortRows = (if (involvedReps.isEmpty)
+            Seq.empty[(String, String, String)]
+          else L("normCohort")(
+            prefiltered(idx.normMapAll, "nrep", involvedRepsDf)
+              .join(broadcast(involvedRepsDf), Seq("nrep"))
+              .select("image_id", "norm", "nrep")).collect()
+            .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq) ++
+          normNewRows.filter(t => involvedSet.contains(t._3))
+        // expandSubstringPairs, driver-side: members of the contained
+        // caption ↔ container rep and vice versa (same inner-join
+        // semantics — a relation endpoint without a cohort rep row drops
+        // the relation, exactly as the two rep joins would)
+        val repNorm = normCohortRows.collect {
+          case (id, norm, nrep) if id == nrep => id -> norm
+        }.toMap
+        val membersByNorm = normCohortRows.groupBy(_._2)
+          .view.mapValues(_.map(_._1)).toMap
+        val subPairs = relations.flatMap { case (s, d) =>
+          (repNorm.get(s), repNorm.get(d)) match {
+            case (Some(sn), Some(dn)) =>
+              val left = membersByNorm.getOrElse(sn, Nil).map(m => (m, d))
+              val right = membersByNorm.getOrElse(dn, Nil).map(m => (s, m))
+              (left ++ right).collect { case (a, b) if a != b =>
+                if (a <= b) (a, b) else (b, a)
+              }
+            case _ => Nil
+          }
+        }
+        touching(subPairs)
       }
 
       val (exactNew, mhNew) = Await.result(fExactMh, 10.minutes)
       val simNew = Await.result(fSim, 10.minutes)
       val subNew = Await.result(fSub, 10.minutes)
 
-      // driver-side union of four LocalRelations (a Union node doesn't fold,
-      // so the DataFrame form would pay a job; the heavy pair compute already
-      // ran inside the concurrent chains above)
+      // driver-side union of the four generators' pair seqs (zero jobs)
+      val candRows: Array[org.apache.spark.sql.Row] =
+        (exactNew.map(p => org.apache.spark.sql.Row(p._1, p._2, "exact")) ++
+          mhNew.map(p => org.apache.spark.sql.Row(p._1, p._2, "minhash")) ++
+          simNew.map(p => org.apache.spark.sql.Row(p._1, p._2, "simhash")) ++
+          subNew.map(p => org.apache.spark.sql.Row(p._1, p._2, "substring"))).toArray
       val sel = Seq("src", "dst", "source")
-      val candRows = Seq(exactNew, mhNew, simNew, subNew)
-        .flatMap(_.select(sel.map(col): _*).collect())
       val candsNew = spark.createDataFrame(
         java.util.Arrays.asList(candRows: _*),
         org.apache.spark.sql.types.StructType(sel.map(
@@ -491,9 +684,9 @@ object Probe {
       // ---- verify (append step 6) ------------------------------------------
       // hydration slice: verify inner-joins features on pair endpoints, so
       // only candidate-involved OLD rows are fetched (new rows are local).
-      // Endpoint set built on the driver — candsNew is local.
-      val newIdSeq = newIds.collect().map(_.getString(0)).toSeq
-      val newIdSet = newIdSeq.toSet
+      // Endpoint set built on the driver — the pair seqs are local. The
+      // old-row slice fetch is FUSED into the verify job (it had exactly one
+      // consumer; localizing it separately paid a whole sequential job).
       val candOldIds = candRows.iterator
         .flatMap(r => Iterator(r.getString(0), r.getString(1)))
         .filterNot(newIdSet).toSeq.distinct.toDF("image_id")
@@ -505,8 +698,9 @@ object Probe {
           .join(broadcast(candOldIds), Seq("image_id"))
           .select("image_id", "cluster_id"))
       }
-      val oldSlice = L("oldSlice")(prefiltered(oldClean, "image_id", candOldIds)
-        .join(broadcast(candOldIds), Seq("image_id")))
+      val oldSlice = prefiltered(oldClean, "image_id", candOldIds)
+        .join(broadcast(candOldIds), Seq("image_id"))
+        .select(cleanNew.columns.toIndexedSeq.map(col): _*)
       val verifiedNew = L("verifiedNew")(PairVerifier.verify(
         candsNew, oldSlice.unionByName(cleanNew), cfg))
 

@@ -56,8 +56,11 @@ object Outbox {
     else Some(spark.read.parquet(ackDir(root, consumer)).select("event_id").distinct())
   }
 
-  /** Events not yet acknowledged by `consumer`, oldest batches first —
-    * what the consumer's next sync run must deliver. */
+  /** Events not yet acknowledged by `consumer` — what the consumer's next
+    * sync run must deliver. No delivery order is guaranteed (the frame is a
+    * bare anti-join; an `orderBy` here would charge every pending() call a
+    * full sort for an ordering most consumers don't need — a consumer that
+    * wants batch order sorts its own delivery slice). */
   def pending(spark: SparkSession, root: String, consumer: String): DataFrame = {
     val ev = events(spark, root)
     acks(spark, root, consumer) match {
@@ -81,9 +84,18 @@ object Outbox {
   }
 
   /** Ack straight from a delivered frame (the consumer loop's shape:
-    * `val batch = pending(...); send(batch); ackFrame(batch)`). */
+    * `val batch = pending(...); send(batch); ackFrame(batch)`). The ids are
+    * written distributed — never collected: at the 100-TB target the
+    * duplicate-event stream is corpus-shaped and a consumer acking a large
+    * delivery through a driver Seq would OOM the driver (r5 verdict #6).
+    * Returns the number of distinct ids acked. */
   def ackFrame(spark: SparkSession, root: String, consumer: String,
-      delivered: DataFrame): Long =
-    ack(spark, root, consumer,
-      delivered.select("event_id").collect().map(_.getString(0)).toSeq)
+      delivered: DataFrame): Long = {
+    val obs = org.apache.spark.sql.Observation("graft-outbox-ack")
+    delivered.select("event_id").distinct()
+      .observe(obs, count(lit(1)).as("n"))
+      .withColumn("acked_at", current_timestamp())
+      .write.mode(SaveMode.Append).parquet(ackDir(root, consumer))
+    obs.get("n").asInstanceOf[Long]
+  }
 }

@@ -57,18 +57,25 @@ object Qa {
   /** Append one override; `action` is "link", "split" (pair edges) or
     * "promote" (a single-id rep override, stored as src = dst = id). Pair
     * orientation is normalized to src < dst (the edge set's invariant).
-    * Later overrides for the same pair win (monotonic `seq`). */
+    * Later overrides for the same pair win (monotonic `seq`).
+    *
+    * SINGLE-WRITER CONTRACT: QA mutations on one root must come from one
+    * writer loop (the reference's QA API is one service). The seq
+    * assignment is read-modify-write — two interleaved writers could mint
+    * the same seq, making "last override wins" ambiguous. The max-seq
+    * marker written here is what `maxOverrideSeq` reads, so the serving
+    * path never pays a Spark aggregation job per probe for it. */
   def addOverride(spark: SparkSession, root: String,
       a: String, b: String, action: String): Unit = {
     require(action == "link" || action == "split" || action == "promote",
       s"unknown action '$action'")
     require(action == "promote" || a != b, "override endpoints must differ")
     import spark.implicits._
-    val seq = readOverrides(spark, root)
-      .map(_.agg(max("seq")).head().getLong(0) + 1L).getOrElse(0L)
+    val seq = maxOverrideSeq(spark, root) + 1L
     Seq((math.Ordering[String].min(a, b), math.Ordering[String].max(a, b), action, seq))
       .toDF("src", "dst", "action", "seq")
       .coalesce(1).write.mode(SaveMode.Append).parquet(s"$root/$OverridesTable")
+    Layout.markerWrite(maxSeqPath(root), seq.toString)
   }
 
   def forceLink(spark: SparkSession, root: String, a: String, b: String): Unit =
@@ -171,11 +178,18 @@ object Qa {
   // ---- override bookkeeping (which derivation reflects what) ---------------
 
   private def appliedSeqPath(root: String) = s"$root/_overrides_applied"
+  private def maxSeqPath(root: String) = s"$root/_overrides_max"
 
-  /** Highest override seq recorded, or -1 when the table doesn't exist. */
+  /** Highest override seq recorded, or -1 when the table doesn't exist.
+    * Served from the marker `addOverride` maintains — Probe.run consults
+    * this before EVERY serving call, and the aggregation-job form was a
+    * recurring driver-job tax on the latency path (ADVICE r5). The Spark
+    * aggregate remains only as the fallback for roots written by older
+    * builds whose marker is absent. */
   def maxOverrideSeq(spark: SparkSession, root: String): Long =
-    readOverrides(spark, root)
-      .map(_.agg(max("seq")).head().getLong(0)).getOrElse(-1L)
+    Layout.markerRead(maxSeqPath(root)).map(_.trim.toLong).getOrElse(
+      readOverrides(spark, root)
+        .map(_.agg(max("seq")).head().getLong(0)).getOrElse(-1L))
 
   /** Stamp the root: its persisted global stages reflect overrides up to
     * `seq`. Written by every path that re-derives clusters with overrides
@@ -240,7 +254,7 @@ object Qa {
     val edges = applyOverrides(spark, root,
       verifiedAll.where(col("is_edge")).select("src", "dst", "match_score"))
     val clusters = Layout.runStage(spark, root, "clusters")(
-      applyPromotes(spark, root, ConnectedComponents.run(
+      applyPromotes(spark, root, ConnectedComponents.runAdaptive(
         clean.select(col("image_id").as("id")), edges, cfg.maxCcIterations,
         cfg.ccPointerJump)
         .select(col("id").as("image_id"), col("cluster_id"))))

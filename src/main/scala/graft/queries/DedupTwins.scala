@@ -65,9 +65,10 @@ object DedupTwins {
   def q21Pairs(spark: SparkSession, dir: String): DataFrame =
     memoized(spark, dir, "pairs")(Documents.q21NgramJaccard(spark, dir))
 
-  /** The 9 parquet tables are single-split; spread row-local projections. */
+  /** The 9 parquet tables are single-split; spread row-local projections
+    * as wide as their BYTES justify (Documents.spread — size-derived). */
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents").repartition(spark.sparkContext.defaultParallelism)
+    Documents.spread(spark, dir, "documents")
 
   // ---- q26: substring containment over normalized text --------------------
 

@@ -18,6 +18,21 @@ object Documents {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Full-width scan spread for CPU-dense projections. A size-derived
+    * variant (partitions = bytes / target) was tried this round and
+    * MEASURED WORSE: these single-split tables are small in bytes but the
+    * projections over them (shingling, md5 sketches, hyperplane/centroid
+    * dot products) are CPU-bound, and a broadcast join preserves the
+    * STREAMING side's partitioning — with the table left at one split, the
+    * IVF scored join's ~1M 64-dim dot products landed in a single task
+    * (ann_ivf_topk 2.5 s → 12.1 s, q21 2.2 → 7.4, dedup_minhash 4.0 → 8.7
+    * in the same bench window). The one full-width exchange of a sub-MB
+    * table is trivial next to the 32-way CPU parallelism it buys; at
+    * warehouse scale the table arrives multi-split and the repartition is
+    * a no-op cost-wise. */
+  def spread(spark: SparkSession, dir: String, name: String): DataFrame =
+    t(spark, dir, name).repartition(spark.sparkContext.defaultParallelism)
+
   private def toks(c: Column): Column =
     filter(split(c, " "), x => length(x) > 0)
 
@@ -134,7 +149,8 @@ object Documents {
     * ~2·cap rows regardless of skew. */
   def q21NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     // repartition: the table is one parquet split; shingling must not run
-    // as a single task. shingles3 is array_distinct, so explode already
+    // as a single task (hash on doc_id — the sizes aggregate below groups
+    // on it). shingles3 is array_distinct, so explode already
     // yields distinct (doc_id, s) rows — no distinct shuffle needed.
     // hash the shingle IMMEDIATELY: the df window and the bucket join then
     // shuffle 8-byte longs instead of multi-word strings (the oracle joins

@@ -53,12 +53,14 @@ object Engine {
     * sketch fires on ~86% of all pairs — measured — and degenerates to n²). */
   def minhashCandidatesDocs(spark: SparkSession, dir: String): DataFrame = {
     val cfg = DedupConfig.default
-    // the table is a single parquet split: without a repartition the whole
-    // shingle+signature projection runs as ONE task
-    val sh = t(spark, dir, "documents")
-      .repartition(spark.sparkContext.defaultParallelism)
+    // size-derived spread (Documents.spread): shingle+signature CPU
+    // parallelizes when the table's bytes justify it, without charging a
+    // tiny table a full-width round-robin exchange. The inner shingles3 is
+    // already array_distinct; a distinct over the hashes would be redundant
+    // for MinHash (min over a multiset = min over its set)
+    val sh = Documents.spread(spark, dir, "documents")
       .select(col("doc_id").cast("string").as("id"),
-        array_distinct(transform(Documents.shingles3(col("text")), x => xxhash64(x))).as("hashes"))
+        transform(Documents.shingles3(col("text")), x => xxhash64(x)).as("hashes"))
       .where(size(col("hashes")) > 0)
     // persisted PRE-explode: the sketch is the CPU hot path and the salted
     // join consumes the band table twice; the explode recomputes cheaply
@@ -80,8 +82,7 @@ object Engine {
     val cfg = DedupConfig.default
     // persisted: the shingle+sketch projection feeds the banding AND both
     // verify joins; the combo-key explode recomputes cheaply from it
-    val sh = maybePersist(t(spark, dir, "documents")
-      .repartition(spark.sparkContext.defaultParallelism)
+    val sh = maybePersist(Documents.spread(spark, dir, "documents")
       .select(col("doc_id").cast("string").as("id"),
         SimHash.simhash64Col(
           array_distinct(transform(Documents.shingles3(col("text")), x => xxhash64(x)))).as("sh"))
@@ -129,10 +130,13 @@ object Engine {
       planes: Int = 4, tables: Int = 8): DataFrame = {
     val dim = 64
     val cfg = DedupConfig.default
-    val e = t(spark, dir, "embeddings")
-      .repartition(spark.sparkContext.defaultParallelism)
+    // normalized vectors persist ONCE: the sketch derives from them and the
+    // two hydration joins re-read them — the previous shape recomputed the
+    // parquet scan + full-width repartition + norm reduction three times
+    // per run (two of those exchanges are now gone from the plan)
+    val e = maybePersist(Documents.spread(spark, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("nrm", sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+      .withColumn("nrm", sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x))))
     val bits = (tbl: Int) => (0 until planes).map { p =>
       val d = aggregate(zip_with(col("v"), hyperplane(tbl * 64 + p, dim, 77L), (x, w) => x * w),
         lit(0.0), (a, x) => a + x)
@@ -191,8 +195,7 @@ object Engine {
    */
   def annIvfTopk(spark: SparkSession, dir: String,
       k: Int = 16, nprobe: Int = 4, iters: Int = 2, trainMod: Int = 1): DataFrame = {
-    val e = t(spark, dir, "embeddings")
-      .repartition(spark.sparkContext.defaultParallelism)
+    val e = Documents.spread(spark, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
     // normalized vectors: dot = cosine on both the train and query sides

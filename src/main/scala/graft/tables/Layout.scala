@@ -138,10 +138,16 @@ object Layout {
     val files = listParquetFiles(s"$root/$stage")
     val pv = partitions.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    // "v" is a per-write version token: content fields (rows/files/schema)
+    // can round-trip unchanged through a mutation (Qa.refreshGlobal rewrites
+    // clusters with identical counts; mergeStage preserves rows by
+    // construction), and readers that cache stage frames (Probe's serving
+    // context) compare raw manifest stamps to detect staleness — a stamp
+    // that can repeat across mutations serves stale answers (ADVICE r5)
     val manifest =
       s"""{"stage":"$stage","rows":$rows,"files":$files,"schema":$schema,""" +
         s""""partition_by":${partitionBy.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-        s""""partitions":$pv}"""
+        s""""partitions":$pv,"v":"${java.util.UUID.randomUUID}"}"""
     markerWrite(manifestPath(root, stage), manifest)
   }
 
@@ -319,6 +325,15 @@ object Layout {
     }
     fs.delete(bak, true)
     fs.delete(new Path(tmp), true)
+    // bump the manifest version: rows/partitions are unchanged by
+    // construction, but stamp-readers (Probe's serving context) must see
+    // that the stage's FILES moved — without this rewrite the manifest is
+    // byte-identical and a cached context would keep serving pre-merge rows
+    val schema = markerRead(manifestPath(root, stage))
+      .flatMap(""""schema":(\{[^}]*\})""".r.findFirstMatchIn(_).map(_.group(1)))
+      .getOrElse("{}")
+    writeManifest(root, stage, math.max(manifestRows(root, stage), 0L),
+      Seq(partitionBy), partitionRows(root, stage), schema)
     // a cached handle for this stage now reads superseded blocks
     synchronized(cachedStages.remove((root, stage))).foreach(_.unpersist(false))
     matched
@@ -462,17 +477,26 @@ object Layout {
 
   def runStage(spark: SparkSession, root: String, stage: String,
       partitionBy: Seq[String] = Nil,
-      partitionValue: Option[String] = None)(compute: => DataFrame): DataFrame = {
+      partitionValue: Option[String] = None,
+      cache: Boolean = true)(compute: => DataFrame): DataFrame = {
     if (!isComplete(root, stage)) {
       val t0 = System.nanoTime()
       val (df, rows) = described(spark, s"graft:$stage") {
         // evaluated inside the description scope: eager work in the stage
         // closure (e.g. the CC iteration jobs) must carry the label too
-        val d = compute.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        synchronized {
-          cachedStages.put((root, stage), d).foreach(_.unpersist(false))
+        // `cache = false` for terminal stages with no same-run consumer
+        // (audit): the MEMORY_AND_DISK columnar build of a wide table is
+        // pure overhead when nothing reads it back this run
+        if (cache) {
+          val d = compute.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          synchronized {
+            cachedStages.put((root, stage), d).foreach(_.unpersist(false))
+          }
+          (d, write(d, root, stage, partitionBy, partitionValue))
+        } else {
+          val rows = write(compute, root, stage, partitionBy, partitionValue)
+          (read(spark, root, stage), rows)
         }
-        (d, write(d, root, stage, partitionBy, partitionValue))
       }
       bufferLineage(root, stage, rows, (System.nanoTime() - t0) / 1e9, skipped = false)
       df
@@ -480,6 +504,51 @@ object Layout {
       bufferLineage(root, stage, -1L, 0.0, skipped = true)
       read(spark, root, stage)
     }
+  }
+
+  /**
+   * Full-rewrite stage whose compute READS THE STAGE'S OWN PREVIOUS FILES
+   * (the incremental fast path derives clusters/decisions from their
+   * predecessors). `runStage`'s in-place Overwrite would delete that input
+   * at job start, so the previous shape eagerly `localCheckpoint`ed the
+   * source first — a full extra materialization pass of the widest tables
+   * per epoch (measured: the decisions checkpoint alone was a whole-table
+   * pass with its arrays columnar-encoded into the block manager). Instead:
+   * write the successor to a sibling tmp dir — the live files stay readable
+   * for the whole job — then swap (delete live, rename tmp in) and stamp
+   * the manifest. Crash-safety is unchanged: callers invalidate the
+   * manifest BEFORE computing, and a crash mid-write or mid-swap leaves the
+   * manifest absent, which routes the next run onto the slow path that
+   * re-derives these stages from their true upstream (`verified`).
+   * Returns the stage re-read from the swapped-in files, unpersisted —
+   * downstream consumers each read a pruned column subset, which is cheaper
+   * than a wide columnar cache build.
+   */
+  def runStageReplace(spark: SparkSession, root: String, stage: String)(
+      compute: => DataFrame): DataFrame = {
+    if (!isComplete(root, stage)) {
+      val t0 = System.nanoTime()
+      val rows = described(spark, s"graft:$stage") {
+        val tmp = s"$root/_replace_tmp_$stage"
+        val df = compute
+        val obs = Observation(s"graft-$stage-swap")
+        df.observe(obs, count(lit(1)).as("rows"))
+          .write.mode(SaveMode.Overwrite).parquet(tmp)
+        val n = obs.get("rows").asInstanceOf[Long]
+        val live = new Path(s"$root/$stage")
+        val fs = fsFor(live)
+        fs.delete(live, true)
+        if (!fs.rename(new Path(tmp), live))
+          throw new java.io.IOException(s"stage swap failed: $tmp -> $live")
+        writeManifest(root, stage, n, Nil, Map.empty, schemaJson(df))
+        n
+      }
+      synchronized { cachedStages.remove((root, stage)).foreach(_.unpersist(false)) }
+      bufferLineage(root, stage, rows, (System.nanoTime() - t0) / 1e9, skipped = false)
+    } else {
+      bufferLineage(root, stage, -1L, 0.0, skipped = true)
+    }
+    read(spark, root, stage)
   }
 
   /** Per-partition resumable stage: compute and append only if `partition`

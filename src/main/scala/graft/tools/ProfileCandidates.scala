@@ -56,7 +56,8 @@ object ProfileCandidates {
       val input = spark.read.parquet(args(0)).orderBy("image_id")
       val n = input.count()
       val root = java.nio.file.Files.createTempDirectory("graft-epoch-prof").toString
-      val cut = (n * 94 / 100).toInt
+      val cutPct = sys.env.getOrElse("GRAFT_EPOCH_CUT_PCT", "94").toInt
+      val cut = (n * cutPct / 100).toInt
       time("bootstrap") {
         Dedup.runCheckpointed(spark,
           input.limit(cut), root, cfg).clusters.count()

@@ -23,20 +23,36 @@ class CcSpec extends AnyFunSuite with ParallelTestExecution {
     (vertices, edges, ids)
   }
 
-  test("a 64-deep chain converges to one component; pointer jumping does it in O(log d)") {
-    val (vertices, edges, ids) = chain(65) // diameter 64 — far beyond the star bound
+  test("a 32-deep chain converges to one component; pointer jumping does it in O(log d)") {
+    // diameter 32 — far beyond the star bound. (Was 64: halving the chain
+    // proves the same O(log d) claim at half the per-round Spark-job wall —
+    // this test was the single heaviest suite item, r5 verdict #8.)
+    val (vertices, edges, ids) = chain(33)
 
     // plain propagation: needs ~diameter rounds, must still be CORRECT
-    val plain = ConnectedComponents.run(vertices, edges, maxIter = 80)
+    val plain = ConnectedComponents.run(vertices, edges, maxIter = 48)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(ids.forall(plain(_) == "v-0000"), "one chain = one component, labeled by min id")
 
-    // path halving: same labels, logarithmic rounds — 16 is ~2·log2(64)+slack,
-    // far below the 64+ plain propagation needs, so passing PROVES the jump
-    val jumped = ConnectedComponents.run(vertices, edges, maxIter = 16,
+    // path halving: same labels, logarithmic rounds — 12 is ~2·log2(32)+slack,
+    // far below the 32+ plain propagation needs, so passing PROVES the jump
+    val jumped = ConnectedComponents.run(vertices, edges, maxIter = 12,
       pointerJump = true)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(jumped == plain)
+  }
+
+  test("runAdaptive == run under the gate and falls back above it") {
+    import spark.implicits._
+    val (vertices, edges, ids) = chain(12)
+    val gated = ConnectedComponents.runAdaptive(vertices, edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ids.forall(gated(_) == "v-0000"))
+    // singletons (vertices absent from edges) keep their own id
+    val extra = (ids :+ "v-9999").toDF("id")
+    val withSingleton = ConnectedComponents.runAdaptive(extra, edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(withSingleton("v-9999") == "v-9999")
   }
 
   test("maxIter truncation is an error, never a silent wrong answer") {

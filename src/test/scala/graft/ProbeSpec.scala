@@ -141,6 +141,44 @@ class ProbeSpec extends AnyFunSuite with ParallelTestExecution {
     assert(Probe.run(spark, root, batch).outcomes.count() == 1)
   }
 
+  test("probe → refresh → probe: a cached serving context must not serve pre-override labels") {
+    // ADVICE r5 (high): refreshGlobal rewrites clusters with an UNCHANGED
+    // row count / file count / schema, so a content-only manifest stamp
+    // round-trips byte-identical and a cached context would keep serving
+    // pre-override cluster labels. The manifest's per-write version token
+    // is the fix; this is its regression net.
+    val root = "target/probe-spec-refresh"
+    deleteRec(Paths.get(root))
+    val all = Synth.corpus(spark, 300).toDF()
+    val res = Dedup.runCheckpointed(spark, all, root, DedupConfig.default)
+    val reps = res.clusters.collect().map(r => r.getString(0) -> r.getString(1))
+      .groupBy(_._2).keys.toSeq.sorted.take(2)
+    val (a, b) = (reps(0), reps(1))
+    // duplicate of b, the LARGER rep: its label changes (b → a) on merge,
+    // so a stale context is distinguishable from a fresh one
+    val batch = all.where(col("image_id") === b)
+      .withColumn("image_id", lit("img-zzzzzz0011"))
+    Incremental.ensureIndexes(spark, root)
+
+    // probe once: the serving context for this root is now cached
+    val before = Probe.run(spark, root, batch).decisions
+      .where(col("image_id") === "img-zzzzzz0011")
+      .select("cluster_id").head().getString(0)
+    assert(before == b)
+
+    // merge a's cluster with b's through QA, refresh, probe again: the
+    // cached context must detect the clusters rewrite and serve the merged
+    // label (min of the two reps)
+    graft.qa.Qa.reclassify(spark, root, a, b, "link")
+    val after = Probe.run(spark, root, batch).decisions
+      .where(col("image_id") === "img-zzzzzz0011")
+      .select("cluster_id").head().getString(0)
+    val merged = Layout.read(spark, root, "clusters")
+      .where(col("image_id") === a).select("cluster_id").head().getString(0)
+    assert(after == merged && merged == Seq(a, b).min,
+      s"stale serving context: probe saw $after, clusters table says $merged")
+  }
+
   test("probe composes with promote rep-overrides (incl. a merge through the probe row)") {
     val root = "target/probe-spec-promote"
     deleteRec(Paths.get(root))
