@@ -416,6 +416,17 @@ object Probe {
         val ks = local.select(c).collect().map(_.get(0)).distinct.toSeq
         if (ks.sizeIs <= inFilterKeyCap) scan.where(col(c).isin(ks: _*)) else scan
       }
+      // Single-key cohort filter: for a DISTINCT key set, the inner join
+      // against the key frame is a pure semi-join — the InSet filter IS the
+      // fetch, and dropping the join drops the broadcast-exchange build job
+      // Spark submits per broadcast-hash join even for a LocalRelation
+      // build side (measured with tools.ProbeJobProbe: scan ⋈
+      // broadcast(local) = 2 jobs, scan.where(isin) = 1). Past the cap the
+      // broadcast-join fallback stands (flat planning cost in key count).
+      def keyFiltered(scan: DataFrame, c: String, keys: Seq[Any],
+          keysDf: => DataFrame): DataFrame =
+        if (keys.sizeIs <= inFilterKeyCap) scan.where(col(c).isin(keys: _*))
+        else scan.join(broadcast(keysDf), Seq(c))
 
       // One decode+fingerprint pass over the batch, then the rows live on
       // the driver: every batch-local DERIVATION below runs in driver Scala
@@ -480,14 +491,17 @@ object Probe {
             .map(r => r.getString(0) ->
               (if (r.isNullAt(6)) null else r.getSeq[Long](6))), cfg)
         val affectedBands = bandedNew.map(r => (r._2, r._3)).distinct
-        val affectedBandsDf = affectedBands.toDF("band", "bkey")
+        val affectedSet = affectedBands.toSet
+        // bkey-only fetch (exact (band,bkey) membership restored by the
+        // driver-side filter — InSet false hits are dropped there)
         val cohortRows =
           if (affectedBands.isEmpty) Seq.empty[(String, Int, Long)]
           else L("bandCohort")(
-            prefiltered(idx.banded, "bkey", affectedBandsDf)
-              .join(broadcast(affectedBandsDf), Seq("band", "bkey"))
+            keyFiltered(idx.banded, "bkey", affectedBands.map(_._2).distinct,
+              affectedBands.map(_._2).distinct.toDF("bkey"))
               .select("id", "band", "bkey")).collect()
-            .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+            .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+            .filter(r => affectedSet.contains((r._2, r._3))).toSeq
         // pair emission over the localized cohort is driver work now
         val mhNew = touching(bucketPairsLocal(cohortRows ++ bandedNew))
         (exactNew, mhNew)
@@ -497,13 +511,11 @@ object Probe {
       val fSim = Future {
         val phNew = cleanRows.toSeq.map(r => (r.getString(0), r.getLong(5)))
         val phNewVals = phNew.map(_._2).distinct
-        val phNewValsDf = phNewVals.toDF("phash")
         // one cluster fetch serves both: old members of touched phashes
         // (for prepPh) and the present-in-corpus phash set
         val phOldCohort = L("phOldCohort")(
-          prefiltered(oldClean.select(col("image_id"), col("phash")),
-            "phash", phNewValsDf)
-            .join(broadcast(phNewValsDf), Seq("phash"))
+          keyFiltered(oldClean.select(col("image_id"), col("phash")),
+            "phash", phNewVals, phNewVals.toDF("phash"))
             .select("image_id", "phash")).collect()
           .map(r => (r.getString(0), r.getLong(1))).toSeq
         val presentOld = phOldCohort.map(_._2).toSet
@@ -535,14 +547,15 @@ object Probe {
             .iterator.zipWithIndex.map { case (k, b) => (id, b, k) }
         }
         val affectedCombos = simBandedNew.map(r => (r._2, r._3)).distinct
-        val affectedCombosDf = affectedCombos.toDF("band", "bkey")
+        val comboSet = affectedCombos.toSet
         val simCohortRows =
           if (affectedCombos.isEmpty) Seq.empty[(String, Int, Long)]
           else L("simCohort")(
-            prefiltered(idx.bandedSim, "bkey", affectedCombosDf)
-              .join(broadcast(affectedCombosDf), Seq("band", "bkey"))
+            keyFiltered(idx.bandedSim, "bkey", affectedCombos.map(_._2).distinct,
+              affectedCombos.map(_._2).distinct.toDF("bkey"))
               .select("id", "band", "bkey")).collect()
-            .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+            .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+            .filter(r => comboSet.contains((r._2, r._3))).toSeq
         val simBandNew = bucketPairsLocal(simCohortRows ++ simBandedNew)
           .filter(p => newPhRepIds.contains(p._1) || newPhRepIds.contains(p._2))
         samePhashNew ++ simBandNew
@@ -552,13 +565,12 @@ object Probe {
       val fSub = Future {
         val newNorms = cleanRows.toSeq.map(r => (r.getString(0), r.getString(1)))
         val touchedNormSet = newNorms.map(_._2).distinct
-        val touchedNormsDf = touchedNormSet.toDF("norm")
         // ONE fetch serves both consumers that keyed on the same norm set:
         // the old rep per touched norm (norm-group matching) AND the old
         // reps participating in touched-caption containment
         val oldNormCohort = L("normRepCohort")(
-          prefiltered(idx.oldNormReps, "norm", touchedNormsDf)
-            .join(broadcast(touchedNormsDf), Seq("norm"))
+          keyFiltered(idx.oldNormReps, "norm", touchedNormSet,
+            touchedNormSet.toDF("norm"))
             .select("norm", "nrep")).collect()
           .map(r => (r.getString(0), r.getString(1))).toSeq
         val oldRepByNorm = oldNormCohort.toMap
@@ -596,15 +608,22 @@ object Probe {
             col("b_norm").as("a_norm"), col("tier"), col("k"))
           else base
         }
+        // (tier, k) cohort filter: with a single prefix tier (Tiers.size
+        // == 1, the shipped ladder) the k-only InSet IS the exact (tier,k)
+        // membership test, so the fused fetch+verify jobs lose their
+        // broadcast-exchange build jobs too; a multi-tier ladder falls
+        // back to the join
+        def tierKFiltered(scan: DataFrame, tk: Seq[(Int, Long)]): DataFrame =
+          if (SuffixDup.Tiers.sizeIs == 1 && tk.sizeIs <= inFilterKeyCap)
+            scan.where(col("k").isin(tk.map(_._2).distinct: _*))
+          else scan.join(broadcast(tk.toDF("tier", "k")), Seq("tier", "k"))
         val fR1 = Future {
           val probeTierKSet = probesNew.map(t => (t._3, t._4)).distinct
-          val probeTierK = probeTierKSet.toDF("tier", "k")
           // old builds: pre-joined serving index, broadcast-filter scan
           // only; new builds: local rows filtered by the probes' keys.
           // Fused into ONE job with the contains-verify (the cohort's only
           // consumer) — the verify runs over the cached scan's partitions.
-          val suffixCohortOld = prefiltered(idx.suffixJoined, "k", probeTierK)
-            .join(broadcast(probeTierK), Seq("tier", "k"))
+          val suffixCohortOld = tierKFiltered(idx.suffixJoined, probeTierKSet)
             .select("b_id", "b_norm", "tier", "k")
           val tkSet = probeTierKSet.toSet
           val suffixCohortNew = suffixDf(
@@ -614,11 +633,10 @@ object Probe {
         }
         val fR2 = Future {
           val buildTierKSet = buildsNew.map(t => (t._3, t._4)).distinct
-          val buildTierK = buildTierKSet.toDF("tier", "k")
           val tkSet = buildTierKSet.toSet
           // old probes precomputed at open(); new reps' probes are local
-          val probeCohort = prefiltered(idx.oldProbes, "k", buildTierK)
-            .join(broadcast(buildTierK), Seq("tier", "k"))
+          val probeCohort = tierKFiltered(idx.oldProbes, buildTierKSet)
+            .select("a_id", "a_norm", "tier", "k")
             .unionByName(suffixDf(
               probeEntriesLocal(normNewReps, cfg)
                 .filter(t => tkSet.contains((t._3, t._4))), aSide = true))
@@ -631,13 +649,12 @@ object Probe {
         val relations = (r1.collect() ++ r2.collect())
           .map(r => (r.getString(0), r.getString(1))).distinct.toSeq
         val involvedReps = relations.flatMap(p => Seq(p._1, p._2)).distinct
-        val involvedRepsDf = involvedReps.toDF("nrep")
         val involvedSet = involvedReps.toSet
         val normCohortRows = (if (involvedReps.isEmpty)
             Seq.empty[(String, String, String)]
           else L("normCohort")(
-            prefiltered(idx.normMapAll, "nrep", involvedRepsDf)
-              .join(broadcast(involvedRepsDf), Seq("nrep"))
+            keyFiltered(idx.normMapAll, "nrep", involvedReps,
+              involvedReps.toDF("nrep"))
               .select("image_id", "norm", "nrep")).collect()
             .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq) ++
           normNewRows.filter(t => involvedSet.contains(t._3))
@@ -687,19 +704,20 @@ object Probe {
       // Endpoint set built on the driver — the pair seqs are local. The
       // old-row slice fetch is FUSED into the verify job (it had exactly one
       // consumer; localizing it separately paid a whole sequential job).
-      val candOldIds = candRows.iterator
+      val candOldIdSeq = candRows.iterator
         .flatMap(r => Iterator(r.getString(0), r.getString(1)))
-        .filterNot(newIdSet).toSeq.distinct.toDF("image_id")
+        .filterNot(newIdSet).toSeq.distinct
       // prefetch cluster labels for every OLD candidate endpoint (a superset
       // of the verified edges' sources) concurrently with verification —
       // removes the sequential label-lookup step after verify
       val fLab = Future {
-        L("labPrefetch")(prefiltered(idx.clustersPrev, "image_id", candOldIds)
-          .join(broadcast(candOldIds), Seq("image_id"))
+        L("labPrefetch")(
+          keyFiltered(idx.clustersPrev, "image_id", candOldIdSeq,
+            candOldIdSeq.toDF("image_id"))
           .select("image_id", "cluster_id"))
       }
-      val oldSlice = prefiltered(oldClean, "image_id", candOldIds)
-        .join(broadcast(candOldIds), Seq("image_id"))
+      val oldSlice = keyFiltered(oldClean, "image_id", candOldIdSeq,
+          candOldIdSeq.toDF("image_id"))
         .select(cleanNew.columns.toIndexedSeq.map(col): _*)
       val verifiedNew = L("verifiedNew")(PairVerifier.verify(
         candsNew, oldSlice.unionByName(cleanNew), cfg))
