@@ -425,7 +425,8 @@ object Probe {
       // broadcast-join fallback stands (flat planning cost in key count).
       def keyFiltered(scan: DataFrame, c: String, keys: Seq[Any],
           keysDf: => DataFrame): DataFrame =
-        if (keys.sizeIs <= inFilterKeyCap) scan.where(col(c).isin(keys: _*))
+        if (keys.isEmpty) scan.where(lit(false))
+        else if (keys.sizeIs <= inFilterKeyCap) scan.where(col(c).isin(keys: _*))
         else scan.join(broadcast(keysDf), Seq(c))
 
       // One decode+fingerprint pass over the batch, then the rows live on
