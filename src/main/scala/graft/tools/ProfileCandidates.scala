@@ -73,6 +73,25 @@ object ProfileCandidates {
       time("epoch-warm1") { graft.Incremental.append(spark, root, slice(1), "p1", cfg).decisions.count() }
       time("epoch-warm2") { graft.Incremental.append(spark, root, slice(2), "p2", cfg).decisions.count() }
       val timer = StageTimer.attach(spark)
+      // job-level timeline (ProbeBench's shape): start offset + duration per
+      // job with its description — the driver-planning GAPS between jobs are
+      // what stage metrics can't show
+      val jobT0 = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
+      val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val d = Option(j.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("?")
+          jobStarts.put(j.jobId, (System.nanoTime(), d))
+        }
+        override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          Option(jobStarts.remove(j.jobId)).foreach { case (t0, d) =>
+            println(f"[epoch-job] start=${(t0 - jobT0.get()) / 1e9}%7.3f " +
+              f"dur=${(System.nanoTime() - t0) / 1e9}%6.3f  $d")
+          }
+        }
+      })
+      jobT0.set(System.nanoTime())
       time("epoch-timed") { graft.Incremental.append(spark, root, slice(3), "p3", cfg).decisions.count() }
       timer.report(25)
       println(f"[epoch] stages=${timer.rows.size} wall_sum=${timer.rows.map(_._3).sum / 1000.0}%.1f s " +
