@@ -114,6 +114,34 @@ object ProfileCandidates {
       spark.stop(); return
     }
 
+    if (only.contains("docscan")) {
+      // isolate the single-task scan/exchange stage simhashDocs pays
+      val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+      def docs0 = spark.read.parquet(s"$dir/documents.parquet")
+      time("scan-count") { docs0.count() }
+      time("scan-collect") { docs0.collect().length.toLong }
+      time("repart-count") { docs0.repartition(32).count() }
+      time("repart-count2") { docs0.repartition(32).count() }
+      time("sketch-direct") {
+        docs0.repartition(32)
+          .select(graft.sig.SimHash.simhash64Col(
+            org.apache.spark.sql.functions.array_distinct(
+              org.apache.spark.sql.functions.transform(
+                graft.queries.Documents.shingles3(col("text")),
+                x => org.apache.spark.sql.functions.xxhash64(x)))).as("sh"))
+          .count()
+      }
+      time("sketch-direct2") {
+        docs0.repartition(32)
+          .select(graft.sig.SimHash.simhash64Col(
+            org.apache.spark.sql.functions.array_distinct(
+              org.apache.spark.sql.functions.transform(
+                graft.queries.Documents.shingles3(col("text")),
+                x => org.apache.spark.sql.functions.xxhash64(x)))).as("sh"))
+          .count()
+      }
+      spark.stop(); return
+    }
     // docs/q21 read the sf tables directly — no features dir required
     if (only.contains("docs")) {
       val timer = StageTimer.attach(spark)

@@ -33,7 +33,7 @@ class StageTimer extends SparkListener {
     val run = i.taskMetrics.executorRunTime
     val gc = i.taskMetrics.jvmGCTime
     val label = stageDesc.getOrElse(i.stageId, "")
-    rows += ((i.stageId, s"gc=${gc}ms [$label] ${i.name.take(40)}", wall, run, cpu,
+    rows += ((i.stageId, s"gc=${gc}ms tasks=${i.numTasks} [$label] ${i.name.take(100)}", wall, run, cpu,
       i.taskMetrics.shuffleWriteMetrics.bytesWritten))
   }
 
