@@ -96,6 +96,7 @@ object ProfileCandidates {
       timer.report(25)
       println(f"[epoch] stages=${timer.rows.size} wall_sum=${timer.rows.map(_._3).sum / 1000.0}%.1f s " +
         f"cpu_sum=${timer.rows.map(_._5).sum / 1000.0}%.1f s")
+      graft.util.Disk.rm(root) // the temp root is ~120MB per run
       spark.stop(); return
     }
     if (only.contains("pipeline")) {
