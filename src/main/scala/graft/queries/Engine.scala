@@ -149,14 +149,23 @@ object Engine {
     val sketch = maybePersist(e.select(col("vec_id").as("id"),
       array((0 until tables).map(bits): _*).as("bks")))
     val pairs = Candidates.saltedSelfJoinSketch(sketch, cfg.bucketSizeCap).distinct()
-    val cand = pairs.select(col("src").as("qid"), col("dst").as("nid"))
-      .union(pairs.select(col("dst").as("qid"), col("src").as("nid")))
-    val scored = cand
-      .join(e.select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn")), "qid")
-      .join(e.select(col("vec_id").as("nid"), col("v").as("nv"), col("nrm").as("nn")), "nid")
-      .select(col("qid"), col("nid"),
+    // score each UNORDERED pair once, then emit both orientations: cosine
+    // is symmetric and the element-wise product/sum order is identical
+    // either way (bit-identical values), so the former orientation-doubled
+    // hydrate+dot pass — the operator's heaviest stage — is halved
+    val scoredOnce = pairs
+      .join(e.select(col("vec_id").as("src"), col("v").as("qv"), col("nrm").as("qn")), "src")
+      .join(e.select(col("vec_id").as("dst"), col("v").as("nv"), col("nrm").as("nn")), "dst")
+      .select(col("src"), col("dst"),
         (aggregate(zip_with(col("qv"), col("nv"), (x, y) => x * y), lit(0.0), (a, x) => a + x) /
           (col("qn") * col("nn"))).as("cos"))
+    // both orientations in ONE pass (a union of two selects would duplicate
+    // the join+dot subtree in the plan — broadcast joins leave no exchange
+    // for ReuseExchange to dedup)
+    val scored = scoredOnce.select(explode(array(
+        struct(col("src").as("qid"), col("dst").as("nid"), col("cos")),
+        struct(col("dst").as("qid"), col("src").as("nid"), col("cos")))).as("r"))
+      .select(col("r.qid").as("qid"), col("r.nid").as("nid"), col("r.cos").as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= 5)
